@@ -1,0 +1,72 @@
+"""Common machinery for conjugate component models.
+
+Model module contract (the TPU-native analog of the reference's feature-model
+API, reference doc/overview.rst:37-157):
+
+Every model module (bb, dd, dpd, gp, bnb, nich, niw) exports:
+
+- ``NAME``     — reference model name
+- ``EXAMPLES`` — self-describing fixtures consumed by the generic test
+                 harness (reference doc/overview.rst:145-157)
+- ``Value``    — python-level value type
+
+- ``Shared``   — NamedTuple pytree of hyperparameters (and, for dynamic-
+                 support models, shared sufficient statistics)
+- ``Group``    — NamedTuple pytree of per-component sufficient statistics.
+                 All Group fields carry an arbitrary (usually ``[K]``) batch
+                 shape; every function below broadcasts over it.
+
+- ``shared_from_dict / shared_to_dict`` — JSON-dict (de)serialization,
+  schema-compatible with the reference's ``load``/``dump``
+- ``group_from_dict / group_to_dict``
+- ``group_init(shared, shape=()) -> Group`` — empty group(s)
+- ``add_value(shared, group, value) -> Group``
+- ``add_repeated_value(shared, group, value, count) -> Group``
+- ``remove_value(shared, group, value) -> Group``
+- ``merge(shared, destin, source) -> Group``
+- ``score_value(shared, group, value) -> f32`` — posterior predictive
+  log-density; broadcasts group [K] against scalar value to give [K]
+- ``score_data(shared, group) -> f32`` — marginal likelihood of the group
+- ``sample_value(key, shared, group) -> value``
+- ``sample_group(key, shared, size) -> values`` — draw group params once,
+  then iid values
+- ``from_values_grouped(shared, values, assignments, num_groups) -> Group[K]``
+  — batched suff-stat construction via segment_sum (the TPU replacement for
+  per-row add_value loops); with ``num_groups=1`` this subsumes
+  ``Group.from_values``
+
+Models with a conjugate posterior additionally export
+``plus_group(shared, group) -> Shared`` (reference overview.rst:86).
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def group_take(group, idx):
+    """Select the group at (batched) index `idx` from a [K]-batched Group."""
+    return jax.tree_util.tree_map(lambda a: a[idx], group)
+
+
+def group_set(group, idx, sub):
+    """Write a single group's stats back into slot `idx`."""
+    return jax.tree_util.tree_map(
+        lambda a, s: a.at[idx].set(jnp.asarray(s, a.dtype)), group, sub)
+
+
+def group_stack(groups):
+    """Stack a python list of scalar Groups into a [K]-batched Group."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *groups)
+
+
+def segment_sum(data, segment_ids, num_segments):
+    return jax.ops.segment_sum(
+        data, segment_ids, num_segments=num_segments)
+
+
+def generic_sample_group(sampler_init, sampler_eval, key, shared, size):
+    """Draw per-group parameters once, then `size` iid values (the
+    `Model.sample_group` contract, e.g. reference dbg/models/gp.py:156-161)."""
+    k1, k2 = jax.random.split(key)
+    params = sampler_init(k1, shared)
+    return sampler_eval(k2, shared, params, (size,))

@@ -1,0 +1,206 @@
+"""Mixture-state machinery tests (analog of reference
+tests/test_models.py:503-594 mixture tests + test_clustering.py mixture
+trajectory tests)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distributions_tpu import clustering, mixture as mx
+from distributions_tpu.models import nich, gp, bb
+from distributions_tpu.models import base
+from distributions_tpu.ops import gibbs
+from tests.util import assert_close
+
+C = 8
+PY = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+
+
+def make_problem(seed=0, R=12, cols=2):
+    rng = np.random.RandomState(seed)
+    spec = mx.make_spec([(nich, cols)], capacity=C, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 1., 'sigmasq': 1., 'nu': 1.}),)
+    values = (jnp.asarray(rng.randn(R, cols), jnp.float32),)
+    assignments = jnp.asarray(rng.randint(0, 3, R), jnp.int32)
+    return spec, shareds, values, assignments
+
+
+def naive_feature_scores(spec, shareds, values, assignments, row):
+    """Per-slot feature scores built group-by-group with scalar ops."""
+    R = assignments.shape[0]
+    scores = np.zeros(C)
+    for block, shared, vals, rowvals in zip(
+            spec.blocks, shareds, values, row):
+        for k in range(C):
+            rows_k = [i for i in range(R) if int(assignments[i]) == k]
+            for j in range(block.cols):
+                g = block.module.group_init(shared)
+                for i in rows_k:
+                    g = block.module.add_value(shared, g, vals[i, j])
+                scores[k] += float(block.module.score_value(
+                    shared, g, rowvals[j]))
+    return scores
+
+
+def test_init_invariants():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.init(spec, shareds)
+    assert int(state.sample_size) == 0
+    assert int(mx.group_count(state)) == 1  # one reserved empty
+    state = mx.init(spec, shareds, counts=[3, 0, 2])
+    assert int(state.sample_size) == 5
+    alive = np.asarray(state.alive)
+    counts = np.asarray(state.counts)
+    assert alive[counts > 0].all()
+    assert (alive & (counts == 0)).sum() == 1
+
+
+def test_state_from_assignments_matches_sequential():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    # counts match bincount
+    expected_counts = np.bincount(np.asarray(assignments), minlength=C)
+    assert np.asarray(state.counts).tolist() == expected_counts.tolist()
+    # feature group stats match per-group sequential construction
+    block, shared = spec.blocks[0], shareds[0]
+    for k in range(C):
+        for j in range(block.cols):
+            g = block.module.group_init(shared)
+            for i in range(assignments.shape[0]):
+                if int(assignments[i]) == k:
+                    g = block.module.add_value(shared, g, values[0][i, j])
+            got = jax.tree_util.tree_map(
+                lambda a: a[k, j], state.groups[0])
+            assert_close(block.module.group_to_dict(got),
+                         block.module.group_to_dict(g), tol=1e-3)
+
+
+def test_score_value_matches_naive():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    row = tuple(v[0] for v in values)
+    scores = np.asarray(mx.score_value(spec, PY, shareds, state, row))
+
+    counts = np.asarray(state.counts)
+    alive = np.asarray(state.alive)
+    cl_scores = np.asarray(clustering.py_score_value(
+        PY, state.counts, state.alive, state.sample_size))
+    feat = naive_feature_scores(spec, shareds, values, assignments, row)
+    expected = cl_scores + np.where(alive, feat, 0.0)
+    dead = ~alive
+    assert np.isneginf(scores[dead]).all()
+    assert_close(scores[alive], expected[alive], tol=1e-3)
+
+
+def test_add_remove_roundtrip():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    row = tuple(v[3] for v in values)
+    k = assignments[3]
+    state2, died = mx.remove_value(spec, PY, shareds, state, k, row)
+    state3, born = mx.add_value(spec, PY, shareds, state2, k, row)
+    assert np.asarray(state3.counts).tolist() == \
+        np.asarray(state.counts).tolist()
+    assert int(state3.sample_size) == int(state.sample_size)
+    for g3, g in zip(state3.groups, state.groups):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4), g3, g)
+
+
+def test_group_birth_and_death():
+    spec, shareds, values, _ = make_problem()
+    state = mx.init(spec, shareds)
+    row = tuple(v[0] for v in values)
+    # add to the single empty slot -> birth: a new empty activates
+    state, born = mx.add_value(spec, PY, shareds, state, 0, row)
+    assert bool(born)
+    assert int(mx.group_count(state)) == 2
+    assert int(state.counts[0]) == 1
+    # remove it -> death: slot deactivates
+    state, died = mx.remove_value(spec, PY, shareds, state, 0, row)
+    assert bool(died)
+    assert int(state.counts.sum()) == 0
+
+
+def test_score_batch_matches_score_value():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    batch = mx.score_batch(spec, PY, shareds, state, values)
+    for i in range(assignments.shape[0]):
+        row = tuple(v[i] for v in values)
+        single = mx.score_value(spec, PY, shareds, state, row)
+        alive = np.asarray(state.alive)
+        assert_close(np.asarray(batch[i])[alive],
+                     np.asarray(single)[alive], tol=1e-3)
+
+
+def test_tile_roundtrip():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    state2 = mx.remove_tile(spec, PY, shareds, state, values, assignments)
+    assert int(state2.sample_size) == 0
+    assert int(np.asarray(state2.counts).sum()) == 0
+    state3 = mx.add_tile(spec, PY, shareds, state2, values, assignments)
+    assert np.asarray(state3.counts).tolist() == \
+        np.asarray(state.counts).tolist()
+    for g3, g in zip(state3.groups, state.groups):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3), g3, g)
+
+
+def test_score_data_matches_parts():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    total = float(mx.score_data(spec, PY, shareds, state))
+    expected = float(clustering.score_counts(PY, state.counts))
+    block, shared = spec.blocks[0], shareds[0]
+    for k in range(C):
+        for j in range(block.cols):
+            g = jax.tree_util.tree_map(lambda a: a[k, j], state.groups[0])
+            expected += float(block.module.score_data(shared, g))
+    assert_close(total, expected, tol=1e-3)
+
+
+def test_sweep_sequential_runs():
+    spec, shareds, values, assignments = make_problem(R=16)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+    state2, assignments2 = gibbs.sweep_sequential(
+        spec, PY, shareds, state, values, assignments, key)
+    counts = np.asarray(state2.counts)
+    assert counts.sum() == 16
+    expected = np.bincount(np.asarray(assignments2), minlength=C)
+    assert counts.tolist() == expected.tolist()
+    alive = np.asarray(state2.alive)
+    assert (alive & (counts == 0)).sum() >= 1
+
+
+def test_sweep_blocked_runs():
+    spec, shareds, values, assignments = make_problem(R=16)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+    for block_size in [1, 4, 16]:
+        state2, assignments2 = gibbs.sweep_blocked(
+            spec, PY, shareds, state, values, assignments, block_size,
+            key=key)
+        counts = np.asarray(state2.counts)
+        assert counts.sum() == 16, block_size
+        expected = np.bincount(np.asarray(assignments2), minlength=C)
+        assert counts.tolist() == expected.tolist()
+
+
+def test_sequential_init_runs():
+    spec, shareds, values, _ = make_problem(R=16)
+    state = mx.init(spec, shareds)
+    key = jax.random.PRNGKey(1)
+    state2, assignments = gibbs.sequential_init(
+        spec, PY, shareds, state, values, key)
+    assert int(state2.sample_size) == 16
+    counts = np.asarray(state2.counts)
+    expected = np.bincount(np.asarray(assignments), minlength=C)
+    assert counts.tolist() == expected.tolist()
