@@ -1,0 +1,104 @@
+"""Headline benchmark: collapsed-Gibbs cell-scoring throughput on a DPMM.
+
+Workload (analog of reference benchmarks/mixture.cc:104-158, scaled to TPU):
+R rows x C components, 2 NICH features, Pitman-Yor prior; one blocked
+collapsed-Gibbs sweep = per tile {remove tile, score [B, C] against all
+components for both features, categorical reassign, add tile}.
+
+Metric: **cell-scores/sec** where a cell = one (row, component) posterior-
+predictive evaluation for one feature (the reference's unit: remove ->
+score-all-K -> add per row, benchmarks/mixture.cc:104-143).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "cells/s", "vs_baseline": N}
+vs_baseline divides by the measured single-core C++ reference rate
+(BASELINE_MEASURED.json, recorded by running the reference's own
+benchmarks/mixture on this machine — see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    # sizes (env-overridable for smoke tests)
+    R = int(os.environ.get('BENCH_ROWS', 262144))
+    C = int(os.environ.get('BENCH_COMPONENTS', 512))
+    BLOCK = int(os.environ.get('BENCH_BLOCK', 8192))
+    FEATURES = 2
+    SWEEPS = int(os.environ.get('BENCH_SWEEPS', 20))
+
+    import jax
+    import jax.numpy as jnp
+    from distributions_tpu import clustering, mixture as mx
+    from distributions_tpu.ops import gibbs
+    from distributions_tpu.models import nich
+
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, FEATURES)], capacity=C, empties=1)
+    cl = clustering.PitmanYor.from_dict({'alpha': 100.0, 'd': 0.1})
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
+
+    centers = rng.randn(C - 8, FEATURES).astype(np.float32)
+    labels = rng.randint(0, C - 8, R)
+    X = centers[labels] + 0.1 * rng.randn(R, FEATURES).astype(np.float32)
+    values = (jnp.asarray(X, jnp.float32),)
+    assignments = jnp.asarray(labels, jnp.int32)
+
+    state = mx.state_from_assignments(spec, cl, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+
+    def one_sweep(state, assignments, key):
+        return gibbs.sweep_blocked(
+            spec, cl, shareds, state, values, assignments, BLOCK, key=key)
+
+    # warmup/compile.  NOTE: jax.block_until_ready does not actually block
+    # on the tunneled axon backend — force a host read to synchronize.
+    t0 = time.time()
+    state2, assignments2 = one_sweep(state, assignments, key)
+    np.asarray(assignments2)
+    compile_time = time.time() - t0
+
+    # second warmup pass to flush any remaining queue
+    st, an = one_sweep(state, assignments, key)
+    np.asarray(an)
+
+    # timed sweeps
+    t0 = time.time()
+    st, an = state, assignments
+    for i in range(SWEEPS):
+        key, sub = jax.random.split(key)
+        st, an = one_sweep(st, an, sub)
+    np.asarray(an)
+    elapsed = (time.time() - t0) / SWEEPS
+
+    cells = float(R) * C * FEATURES
+    cells_per_sec = cells / elapsed
+
+    baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             'BASELINE_MEASURED.json')
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get('nich_cells_per_sec_K1000')
+
+    out = {
+        'metric': 'gibbs_cell_scores_per_sec',
+        'value': round(cells_per_sec, 1),
+        'unit': 'cells/s',
+        'vs_baseline': (round(cells_per_sec / baseline, 2)
+                        if baseline else None),
+    }
+    print(json.dumps(out))
+    print('# R={} C={} block={} sweep={:.4f}s compile={:.1f}s device={}'
+          .format(R, C, BLOCK, elapsed, compile_time,
+                  jax.devices()[0].platform), file=sys.stderr)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,123 @@
+"""Compat mixture pieces: MixtureIdTracker and the per-model feature
+Mixture slave (reference include/distributions/mixture.hpp:170-521,
+lp/mixture.pyx:40-60)."""
+
+import numpy as np
+import jax
+
+from distributions_tpu.compat.rng import get_key
+
+
+class MixtureIdTracker(object):
+    """Packed <-> global id bijection surviving swap-compaction
+    (reference mixture.hpp:460-521)."""
+
+    def __init__(self):
+        self._packed_to_global = []
+        self._global_to_packed = {}
+        self._next_global = 0
+
+    def init(self, group_count=0):
+        self._packed_to_global = []
+        self._global_to_packed = {}
+        self._next_global = 0
+        for _ in range(group_count):
+            self.add_group()
+
+    def __len__(self):
+        return len(self._packed_to_global)
+
+    def add_group(self):
+        globalid = self._next_global
+        self._next_global += 1
+        self._global_to_packed[globalid] = len(self._packed_to_global)
+        self._packed_to_global.append(globalid)
+
+    def remove_group(self, packedid):
+        # swap-with-back, mirroring Packed_::packed_remove
+        removed_global = self._packed_to_global[packedid]
+        del self._global_to_packed[removed_global]
+        back_global = self._packed_to_global.pop()
+        if packedid < len(self._packed_to_global):
+            self._packed_to_global[packedid] = back_global
+            self._global_to_packed[back_global] = packedid
+
+    def packed_to_global(self, packedid):
+        return self._packed_to_global[packedid]
+
+    def global_to_packed(self, globalid):
+        return self._global_to_packed[globalid]
+
+
+class FeatureMixture(object):
+    """Per-feature mixture slave: a packed list of scalar groups with
+    vectorized scoring (reference MixtureSlave, mixture.hpp:344-450).
+
+    Construct via `compat.models.<name>.Mixture()`."""
+
+    _core = None  # functional model module, set by subclass
+
+    def __init__(self):
+        self._groups = []
+
+    def __len__(self):
+        return len(self._groups)
+
+    def clear(self):
+        self._groups = []
+
+    def append(self, group):
+        self._groups.append(group._data)
+
+    def init(self, shared):
+        pass  # caches are implicit (XLA fusion); nothing to precompute
+
+    def add_group(self, shared):
+        self._groups.append(self._core.group_init(shared._data))
+
+    def remove_group(self, shared, groupid):
+        back = self._groups.pop()
+        if groupid < len(self._groups):
+            self._groups[groupid] = back
+
+    def add_value(self, shared, groupid, value):
+        self._groups[groupid] = self._core.add_value(
+            shared._data, self._groups[groupid], value)
+
+    def remove_value(self, shared, groupid, value):
+        self._groups[groupid] = self._core.remove_value(
+            shared._data, self._groups[groupid], value)
+
+    def _stacked(self):
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *self._groups)
+
+    def score_value(self, shared, value, scores_accum):
+        """Accumulate per-group scores into scores_accum (numpy float32),
+        matching the reference's accumulate contract
+        (mixture.hpp:416-425)."""
+        batched = self._stacked()
+        if hasattr(self._core, 'score_value_batch'):
+            v = np.asarray([value]) if np.ndim(value) == 0 \
+                else np.asarray(value)[None]
+            out = np.asarray(self._core.score_value_batch(
+                shared._data, batched, v))[0]
+        else:
+            out = np.asarray(self._core.score_value(
+                shared._data, batched, value))
+        scores_accum[:len(self._groups)] += out
+        return scores_accum
+
+    def score_value_group(self, shared, groupid, value):
+        return float(self._core.score_value(
+            shared._data, self._groups[groupid], value))
+
+    def score_data(self, shared):
+        total = 0.0
+        for g in self._groups:
+            total += float(self._core.score_data(shared._data, g))
+        return total
+
+
+def make_feature_mixture(core):
+    return type('Mixture', (FeatureMixture,), {'_core': core})

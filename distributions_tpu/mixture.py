@@ -304,6 +304,64 @@ def _expand(mask, ndim):
     return mask.reshape(mask.shape + (1,) * (ndim - 1))
 
 
+# -- precomputed row-stat fast path -----------------------------------------
+# Per-row statistic columns depend only on the data, so they are computed
+# ONCE per dataset; each tile update is then a single [C, B] x [B, cols*S]
+# one-hot contraction on the MXU instead of per-leaf segment scatters.
+
+def supports_row_stats(spec):
+    return all(hasattr(b.module, 'row_stat_columns') for b in spec.blocks)
+
+
+def precompute_row_stats(spec, shareds, values):
+    """Per-block [R, cols, S] statistic columns."""
+    return tuple(
+        block.module.row_stat_columns(shared, jnp.asarray(v))
+        for block, shared, v in zip(spec.blocks, shareds, values))
+
+
+def tile_deltas_fast(spec, shareds, row_stats, assignments):
+    """(counts_delta[C], per-block additive stats [C, cols]) via one
+    one-hot matmul per block — a [C, B] x [B, cols*S] contraction that
+    rides the MXU."""
+    C = spec.capacity
+    onehot = (assignments[:, None]
+              == jnp.arange(C, dtype=assignments.dtype)).astype(jnp.float32)
+    counts_delta = jnp.round(jnp.sum(onehot, axis=0)).astype(jnp.int32)
+    tiles = []
+    for block, shared, rs in zip(spec.blocks, shareds, row_stats):
+        B = rs.shape[0]
+        flat = rs.reshape(B, -1)                        # [B, cols*S]
+        sums = jnp.matmul(onehot.T, flat,
+                          preferred_element_type=jnp.float32)
+        sums = sums.reshape((C,) + rs.shape[1:])        # [C, cols, S]
+        tiles.append(block.module.row_stats_to_tile(shared, sums))
+    return counts_delta, tuple(tiles)
+
+
+def apply_stat_tiles(spec, shareds, state, counts_delta, tiles, sign, nrows):
+    """Apply additive stat tiles (from tile_deltas_fast, possibly psum'd)."""
+    counts = state.counts + sign * counts_delta
+    groups = []
+    for block, shared, group, tile in zip(
+            spec.blocks, shareds, state.groups, tiles):
+        tile_group = _block_stats_to_group(block, shared, tile)
+        if sign > 0:
+            merged = block.module.merge(shared, group, tile_group)
+        else:
+            merged = block.module.unmerge(shared, group, tile_group)
+            empty_now = counts == 0
+            merged = jax.tree_util.tree_map(
+                lambda m: jnp.where(
+                    _expand(empty_now, m.ndim), jnp.zeros_like(m), m),
+                merged)
+        groups.append(merged)
+    alive = _recompute_alive(counts, spec.empties)
+    return MixtureState(counts=counts, alive=alive,
+                        sample_size=state.sample_size + sign * nrows,
+                        groups=tuple(groups))
+
+
 # -- delta-form tile ops (for cross-device psum in the sharded sweep) -------
 
 def tile_deltas(spec, shareds, values, assignments):

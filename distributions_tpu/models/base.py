@@ -60,8 +60,25 @@ def group_stack(groups):
 
 
 def segment_sum(data, segment_ids, num_segments):
-    return jax.ops.segment_sum(
-        data, segment_ids, num_segments=num_segments)
+    """Segment sum as a one-hot matmul.
+
+    XLA lowers `jax.ops.segment_sum` to scatter-add, which serializes on
+    TPU; a [B, K] one-hot contraction instead rides the MXU and is exact
+    for integer data (f32 matmul is exact below 2^24).  Out-of-range
+    segment ids drop, matching scatter's mode='drop'.
+    """
+    data = jnp.asarray(data)
+    segment_ids = jnp.asarray(segment_ids)
+    onehot = (segment_ids[:, None]
+              == jnp.arange(num_segments, dtype=segment_ids.dtype)[None, :])
+    out_dtype = data.dtype
+    acc = jnp.einsum(
+        'bk,b...->k...', onehot.astype(jnp.float32),
+        data.astype(jnp.float32),
+        preferred_element_type=jnp.float32)
+    if jnp.issubdtype(out_dtype, jnp.integer):
+        acc = jnp.round(acc)
+    return acc.astype(out_dtype)
 
 
 def generic_sample_group(sampler_init, sampler_eval, key, shared, size):

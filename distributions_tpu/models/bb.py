@@ -155,3 +155,49 @@ def unmerge(shared, destin, source):
     """Inverse of merge (used by blocked Gibbs removal)."""
     return Group(heads=destin.heads - source.heads,
                  tails=destin.tails - source.tails)
+
+
+# -- uncollapsed parameter-space API (HMC/NUTS/VI backends) -----------------
+# params = {'logit_p': [..]}; p ~ Beta(alpha, beta).
+
+def param_init(key, shared, shape=()):
+    mean = shared.alpha / (shared.alpha + shared.beta)
+    return {'logit_p': jnp.log(mean / (1 - mean))
+            + 0.1 * jax.random.normal(key, shape)}
+
+
+def param_log_prior(shared, params):
+    z = params['logit_p']
+    log_p = jax.nn.log_sigmoid(z)
+    log_1mp = jax.nn.log_sigmoid(-z)
+    beta_norm = (gammaln(shared.alpha + shared.beta)
+                 - gammaln(shared.alpha) - gammaln(shared.beta))
+    # Beta(p; a, b) density + log-Jacobian of the sigmoid: log p + log(1-p)
+    return (beta_norm + (shared.alpha - 1.0) * log_p
+            + (shared.beta - 1.0) * log_1mp + log_p + log_1mp)
+
+
+def param_log_likelihood(shared, params, value):
+    z = params['logit_p']
+    v = _as_bool(value)
+    return jnp.where(v, jax.nn.log_sigmoid(z), jax.nn.log_sigmoid(-z))
+
+
+def param_constrain(shared, params):
+    return {'p': jax.nn.sigmoid(params['logit_p'])}
+
+
+# -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
+
+ROW_STAT_DIM = 2
+
+
+def row_stat_columns(shared, values):
+    v = _as_bool(values)
+    vf = v.astype(jnp.float32)
+    return jnp.stack([vf, 1.0 - vf], axis=-1)
+
+
+def row_stats_to_tile(shared, sums):
+    return Group(heads=jnp.round(sums[..., 0]).astype(jnp.int32),
+                 tails=jnp.round(sums[..., 1]).astype(jnp.int32))

@@ -153,3 +153,18 @@ def from_values_grouped(shared, values, assignments, num_groups):
         count=base.segment_sum(jnp.ones(v.shape, jnp.int32),
                                assignments, num_groups),
         sum=base.segment_sum(v, assignments, num_groups))
+
+
+# -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
+
+ROW_STAT_DIM = 2
+
+
+def row_stat_columns(shared, values):
+    v = jnp.asarray(values, jnp.float32)
+    return jnp.stack([jnp.ones_like(v), v], axis=-1)
+
+
+def row_stats_to_tile(shared, sums):
+    return Group(count=jnp.round(sums[..., 0]).astype(jnp.int32),
+                 sum=jnp.round(sums[..., 1]).astype(jnp.int32))

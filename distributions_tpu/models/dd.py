@@ -159,3 +159,55 @@ def from_values_grouped(shared, values, assignments, num_groups):
     onehot = (jnp.arange(d, dtype=jnp.int32)[None, :]
               == v[:, None]).astype(jnp.int32)               # [B, D]
     return Group(counts=base.segment_sum(onehot, assignments, num_groups))
+
+
+# -- uncollapsed parameter-space API (HMC/NUTS/VI backends) -----------------
+# params = {'alr': [..., dim-1]} additive-log-ratio coords of the simplex;
+# p ~ Dirichlet(alphas).
+
+def _alr_to_simplex(alr):
+    z = jnp.concatenate([alr, jnp.zeros(alr.shape[:-1] + (1,))], axis=-1)
+    return jax.nn.softmax(z, axis=-1)
+
+
+def param_init(key, shared, shape=()):
+    d = dim(shared)
+    return {'alr': 0.1 * jax.random.normal(key, shape + (d - 1,))}
+
+
+def param_log_prior(shared, params):
+    p = _alr_to_simplex(params['alr'])
+    a = shared.alphas
+    log_dir = (gammaln(jnp.sum(a)) - jnp.sum(gammaln(a))
+               + jnp.sum((a - 1.0) * jnp.log(p), axis=-1))
+    # log |det J| of ALR^-1 = sum_i log p_i
+    return log_dir + jnp.sum(jnp.log(p), axis=-1)
+
+
+def param_log_likelihood(shared, params, value):
+    p = _alr_to_simplex(params['alr'])
+    value = jnp.asarray(value, jnp.int32)
+    return jnp.log(jnp.take_along_axis(
+        p, jnp.broadcast_to(value[..., None], p.shape[:-1] + (1,)),
+        axis=-1)[..., 0])
+
+
+def param_constrain(shared, params):
+    return {'p': _alr_to_simplex(params['alr'])}
+
+
+# -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
+
+def row_stat_dim(shared):
+    return dim(shared)
+
+
+def row_stat_columns(shared, values):
+    v = jnp.asarray(values, jnp.int32)
+    d = dim(shared)
+    return (jnp.arange(d, dtype=jnp.int32) == v[..., None]).astype(
+        jnp.float32)
+
+
+def row_stats_to_tile(shared, sums):
+    return Group(counts=jnp.round(sums).astype(jnp.int32))

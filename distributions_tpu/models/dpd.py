@@ -333,3 +333,23 @@ def from_values_grouped(shared, values, assignments, num_groups):
         counts=base.segment_sum(onehot, assignments, num_groups),
         total=base.segment_sum(jnp.ones(slots.shape, jnp.int32),
                                assignments, num_groups))
+
+
+# -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
+
+def row_stat_dim(shared):
+    return capacity(shared) + 1
+
+
+def row_stat_columns(shared, values):
+    slots = value_to_slot(shared, values)                 # [...]
+    cap = capacity(shared)
+    onehot = (jnp.arange(cap, dtype=jnp.int32)
+              == slots[..., None]).astype(jnp.float32)
+    ones = jnp.ones(slots.shape + (1,), jnp.float32)
+    return jnp.concatenate([onehot, ones], axis=-1)
+
+
+def row_stats_to_tile(shared, sums):
+    return Group(counts=jnp.round(sums[..., :-1]).astype(jnp.int32),
+                 total=jnp.round(sums[..., -1]).astype(jnp.int32))

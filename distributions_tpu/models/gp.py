@@ -167,3 +167,55 @@ def from_values_grouped(shared, values, assignments, num_groups):
                                assignments, num_groups),
         sum=base.segment_sum(v, assignments, num_groups),
         log_prod=base.segment_sum(log_factorial(v), assignments, num_groups))
+
+
+# -- uncollapsed parameter-space API (HMC/NUTS/VI backends) -----------------
+# params = {'log_lambda': [..]}; lambda ~ Gamma(alpha, scale=1/inv_beta).
+
+def param_init(key, shared, shape=()):
+    mean = shared.alpha / shared.inv_beta
+    return {'log_lambda': jnp.log(mean)
+            + 0.1 * jax.random.normal(key, shape)}
+
+
+def param_log_prior(shared, params):
+    lam = jnp.exp(params['log_lambda'])
+    log_p = (shared.alpha * jnp.log(shared.inv_beta)
+             - gammaln(shared.alpha)
+             + (shared.alpha - 1.0) * params['log_lambda']
+             - shared.inv_beta * lam)
+    return log_p + params['log_lambda']  # Jacobian of exp
+
+
+def param_log_likelihood(shared, params, value):
+    v = jnp.asarray(value, jnp.float32)
+    return (v * params['log_lambda'] - jnp.exp(params['log_lambda'])
+            - log_factorial(v))
+
+
+def param_constrain(shared, params):
+    return {'lambda': jnp.exp(params['log_lambda'])}
+
+
+# -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
+
+ROW_STAT_DIM = 3
+
+
+def row_stat_columns(shared, values):
+    v = jnp.asarray(values, jnp.float32)
+    return jnp.stack([jnp.ones_like(v), v, log_factorial(v)], axis=-1)
+
+
+def row_stats_to_tile(shared, sums):
+    return Group(count=jnp.round(sums[..., 0]).astype(jnp.int32),
+                 sum=jnp.round(sums[..., 1]).astype(jnp.int32),
+                 log_prod=sums[..., 2])
+
+
+def tile_stats(shared, values, assignments, num_groups):
+    return from_values_grouped(shared, values, assignments, num_groups)
+
+
+def tile_to_group(shared, tile):
+    return tile

@@ -261,3 +261,60 @@ def from_values_grouped(shared, values, assignments, num_groups):
     """Segment-summed suff stats: mean/M2 recovered from (n, sum, sumsq)."""
     return tile_to_group(
         shared, tile_stats(shared, values, assignments, num_groups))
+
+
+# -- uncollapsed parameter-space API (HMC/NUTS/VI backends) -----------------
+# params = {'mu': [..], 'log_sigmasq': [..]} in unconstrained space;
+# log_prior includes the log-Jacobian of sigmasq = exp(log_sigmasq).
+
+def param_init(key, shared, shape=()):
+    k1, k2 = jax.random.split(key)
+    return {
+        'mu': shared.mu + 0.1 * jax.random.normal(k1, shape),
+        'log_sigmasq': jnp.log(shared.sigmasq)
+        + 0.1 * jax.random.normal(k2, shape),
+    }
+
+
+def param_log_prior(shared, params):
+    """NIX prior: sigmasq ~ ScaledInvChiSq(nu, sigmasq0),
+    mu | sigmasq ~ N(mu0, sigmasq/kappa); + Jacobian of the log transform."""
+    sigmasq = jnp.exp(params['log_sigmasq'])
+    half_nu = 0.5 * shared.nu
+    log_p_sigmasq = (half_nu * jnp.log(half_nu * shared.sigmasq)
+                     - gammaln(half_nu)
+                     - (1.0 + half_nu) * jnp.log(sigmasq)
+                     - half_nu * shared.sigmasq / sigmasq)
+    var_mu = sigmasq / shared.kappa
+    d = params['mu'] - shared.mu
+    log_p_mu = -0.5 * (jnp.log(2 * jnp.pi * var_mu) + d * d / var_mu)
+    jacobian = params['log_sigmasq']  # d sigmasq / d log_sigmasq = sigmasq
+    return log_p_sigmasq + log_p_mu + jacobian
+
+
+def param_log_likelihood(shared, params, value):
+    """log N(value | mu, sigmasq); broadcasts params [K] x value [...]."""
+    sigmasq = jnp.exp(params['log_sigmasq'])
+    d = jnp.asarray(value, jnp.float32) - params['mu']
+    return -0.5 * (jnp.log(2 * jnp.pi * sigmasq) + d * d / sigmasq)
+
+
+def param_constrain(shared, params):
+    return {'mu': params['mu'], 'sigmasq': jnp.exp(params['log_sigmasq'])}
+
+
+# -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
+
+ROW_STAT_DIM = 3
+
+
+def row_stat_columns(shared, values):
+    """[..., 3] = [1, v, v^2] per value; tile sums of these are TileStats."""
+    v = jnp.asarray(values, jnp.float32)
+    return jnp.stack([jnp.ones_like(v), v, v * v], axis=-1)
+
+
+def row_stats_to_tile(shared, sums):
+    """sums [..., 3] (onehot-matmul aggregated) -> additive TileStats."""
+    return TileStats(count=jnp.round(sums[..., 0]).astype(jnp.int32),
+                     sum=sums[..., 1], sumsq=sums[..., 2])

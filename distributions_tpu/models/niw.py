@@ -230,3 +230,26 @@ def from_values_grouped(shared, values, assignments, num_groups):
         sum_x=base.segment_sum(v, assignments, num_groups),
         sum_xxT=base.segment_sum(v[:, :, None] * v[:, None, :],
                                  assignments, num_groups))
+
+
+# -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
+
+def row_stat_dim(shared):
+    d = dim(shared)
+    return 1 + d + d * d
+
+
+def row_stat_columns(shared, values):
+    v = jnp.asarray(values, jnp.float32)                  # [..., D]
+    d = v.shape[-1]
+    outer = (v[..., :, None] * v[..., None, :]).reshape(v.shape[:-1]
+                                                        + (d * d,))
+    ones = jnp.ones(v.shape[:-1] + (1,), jnp.float32)
+    return jnp.concatenate([ones, v, outer], axis=-1)
+
+
+def row_stats_to_tile(shared, sums):
+    d = dim(shared)
+    return Group(count=jnp.round(sums[..., 0]).astype(jnp.int32),
+                 sum_x=sums[..., 1:1 + d],
+                 sum_xxT=sums[..., 1 + d:].reshape(sums.shape[:-1] + (d, d)))

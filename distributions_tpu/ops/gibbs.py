@@ -63,6 +63,10 @@ def sweep_blocked(spec, cl_model, shareds, state, values, assignments, block,
 
     R must be a multiple of `block` (pad rows to a multiple and carry a
     mask upstream if needed).
+
+    Fast path: per-row statistic columns are precomputed once for the whole
+    dataset; each tile's suff-stat update is then one [C, B] x [B, cols*S]
+    one-hot contraction (MXU) instead of per-leaf scatters.
     """
     R = assignments.shape[0]
     assert R % block == 0, 'pad rows to a multiple of the block size'
@@ -74,6 +78,32 @@ def sweep_blocked(spec, cl_model, shareds, state, values, assignments, block,
         jnp.asarray(v).reshape((n_blocks, block) + jnp.asarray(v).shape[1:])
         for v in values)
     tiled_assign = assignments.reshape(n_blocks, block)
+    fast = mx.supports_row_stats(spec)
+
+    if fast:
+        row_stats = mx.precompute_row_stats(spec, shareds, values)
+        tiled_stats = tuple(
+            rs.reshape((n_blocks, block) + rs.shape[1:]) for rs in row_stats)
+
+        def step(state, inp):
+            tile_vals, tile_stats, tile_assign, step_key = inp
+            cd, tiles = mx.tile_deltas_fast(
+                spec, shareds, tile_stats, tile_assign)
+            state = mx.apply_stat_tiles(
+                spec, shareds, state, cd, tiles, -1, block)
+            scores = mx.score_batch(
+                spec, cl_model, shareds, state, tile_vals)   # [B, C]
+            new_assign = sample_from_scores(
+                step_key, scores).astype(jnp.int32)
+            cd, tiles = mx.tile_deltas_fast(
+                spec, shareds, tile_stats, new_assign)
+            state = mx.apply_stat_tiles(
+                spec, shareds, state, cd, tiles, +1, block)
+            return state, new_assign
+
+        state, new_tiled = lax.scan(
+            step, state, (tiled_values, tiled_stats, tiled_assign, keys))
+        return state, new_tiled.reshape(R)
 
     def step(state, inp):
         tile_vals, tile_assign, step_key = inp
