@@ -1,0 +1,178 @@
+"""Full benchmark suite: the TPU analog of the reference's benchmarks/
+executables (mixture.cc, sample_from_scores.cc, score_counts.cc,
+sample_assignment_from_py.cc, special.cc).
+
+Each benchmark prints one JSON line; run with the real TPU attached
+(default env) or BENCH_PLATFORM=cpu for smoke runs.
+
+  python benchmarks/suite.py            # all
+  python benchmarks/suite.py mixture    # one section
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax
+    return np.asarray(jax.tree_util.tree_leaves(x)[0])
+
+
+def timeit(fn, *args, iters=10, warmup=1):
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(out)
+    t0 = time.time()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.time() - t0) / iters
+
+
+def bench_mixture():
+    """Gibbs cell-scoring rate per model x K (reference
+    benchmarks/mixture.cc:104-158): one blocked remove/score/sample/add
+    round per row, counting cells = rows x K."""
+    import jax
+    import jax.numpy as jnp
+    from distributions_tpu import clustering, mixture as mx
+    from distributions_tpu.ops import gibbs
+    from distributions_tpu.models import bb, dd, gp, nich, bnb, dpd
+
+    R = int(os.environ.get('BENCH_ROWS', 65536))
+    BLOCK = int(os.environ.get('BENCH_BLOCK', 16384))
+    cl = clustering.PitmanYor.from_dict({'alpha': 100.0, 'd': 0.1})
+    rng = np.random.RandomState(0)
+
+    cases = {
+        'bb': (bb, {'alpha': 0.5, 'beta': 2.0},
+               lambda: rng.randint(0, 2, (R, 1)).astype(bool)),
+        'dd4': (dd, {'alphas': [0.5] * 4},
+                lambda: rng.randint(0, 4, (R, 1))),
+        'gp': (gp, {'alpha': 1.0, 'inv_beta': 1.0},
+               lambda: rng.poisson(3.0, (R, 1))),
+        'bnb': (bnb, {'alpha': 1., 'beta': 1., 'r': 1},
+                lambda: rng.poisson(3.0, (R, 1))),
+        'nich': (nich, {'mu': 0., 'kappa': 1., 'sigmasq': 1., 'nu': 1.},
+                 lambda: rng.randn(R, 1).astype(np.float32)),
+    }
+
+    for K in [64, 512, 1024]:
+        for name, (module, shared_raw, gen) in cases.items():
+            spec = mx.make_spec([(module, 1)], capacity=K, empties=1)
+            shareds = (module.shared_from_dict(shared_raw),)
+            X = jnp.asarray(gen())
+            assignments = jnp.asarray(rng.randint(0, K - 8, R), jnp.int32)
+            state = mx.state_from_assignments(
+                spec, cl, shareds, (X,), assignments)
+            key = jax.random.PRNGKey(0)
+
+            def sweep(st, an):
+                return gibbs.sweep_blocked(
+                    spec, cl, shareds, st, (X,), an, BLOCK, key=key)
+
+            dt = timeit(lambda: sweep(state, assignments), iters=5)
+            cells = R * K
+            print(json.dumps({
+                'metric': 'mixture_cells_per_sec', 'model': name, 'K': K,
+                'value': round(cells / dt, 1), 'unit': 'cells/s'}))
+
+
+def bench_sample_from_scores():
+    """Categorical-from-scores throughput vs vector size (reference
+    benchmarks/sample_from_scores.cc:35-80)."""
+    import jax
+    import jax.numpy as jnp
+    from distributions_tpu.random import sample_from_scores
+
+    rng = np.random.RandomState(0)
+    B = 4096
+    for size in [2 ** e for e in range(4, 15, 2)]:
+        scores = jnp.asarray(rng.randn(B, size), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        fn = jax.jit(lambda k, s: sample_from_scores(k, s))
+        dt = timeit(fn, key, scores, iters=20)
+        print(json.dumps({
+            'metric': 'sample_from_scores_choices_per_sec', 'size': size,
+            'value': round(B / dt, 1), 'unit': 'choices/s'}))
+
+
+def bench_score_counts():
+    """PY score_counts rate vs partition size (reference
+    benchmarks/score_counts.cc:49-91)."""
+    import jax
+    import jax.numpy as jnp
+    from distributions_tpu import clustering
+
+    model = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.2})
+    rng = np.random.RandomState(0)
+    for size in [1000, 10000, 100000]:
+        counts = jnp.asarray(
+            rng.multinomial(size, np.ones(size // 10) / (size // 10)),
+            jnp.float32)
+        fn = jax.jit(lambda c: clustering.py_score_counts(model, c))
+        dt = timeit(fn, counts, iters=20)
+        print(json.dumps({
+            'metric': 'py_score_counts_per_sec', 'partition_size': size,
+            'value': round(1.0 / dt, 1), 'unit': 'scores/s'}))
+
+
+def bench_sample_assignments():
+    """PY sample_assignments rate (reference
+    benchmarks/sample_assignment_from_py.cc:49-90)."""
+    import jax
+    from distributions_tpu import clustering
+
+    model = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.2})
+    for size in [1000, 10000]:
+        key = jax.random.PRNGKey(0)
+        fn = jax.jit(lambda k: clustering.py_sample_assignments(
+            k, model, size, capacity=256))
+        dt = timeit(fn, key, iters=3)
+        print(json.dumps({
+            'metric': 'py_sample_assignments_per_sec', 'size': size,
+            'value': round(size / dt, 1), 'unit': 'samples/s'}))
+
+
+def bench_special():
+    """Special-function throughput (reference benchmarks/special.cc)."""
+    import jax
+    import jax.numpy as jnp
+    from distributions_tpu import special
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(np.abs(rng.randn(1 << 20)) * 10 + 0.1, jnp.float32)
+    for name, fn in [('exp', jnp.exp), ('log', jnp.log),
+                     ('lgamma', special.lgamma),
+                     ('lgamma_nu', special.lgamma_nu)]:
+        jfn = jax.jit(lambda v, f=fn: f(v))
+        dt = timeit(jfn, x, iters=20)
+        print(json.dumps({
+            'metric': 'special_calls_per_sec', 'fn': name,
+            'value': round(x.size / dt, 1), 'unit': 'calls/s'}))
+
+
+SECTIONS = {
+    'mixture': bench_mixture,
+    'sample_from_scores': bench_sample_from_scores,
+    'score_counts': bench_score_counts,
+    'sample_assignments': bench_sample_assignments,
+    'special': bench_special,
+}
+
+
+def main():
+    if os.environ.get('BENCH_PLATFORM') == 'cpu':
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+    names = sys.argv[1:] or list(SECTIONS)
+    for name in names:
+        SECTIONS[name]()
+
+
+if __name__ == '__main__':
+    main()
