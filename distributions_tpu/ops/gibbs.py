@@ -121,6 +121,59 @@ def sweep_blocked(spec, cl_model, shareds, state, values, assignments, block,
     return state, new_tiled.reshape(R)
 
 
+@partial(jax.jit, static_argnums=(0, 6, 7))
+def sweep_blocked_pallas(spec, cl_model, shareds, state, values, assignments,
+                         block, block_rows=256, key=None):
+    """Blocked collapsed-Gibbs sweep with the fused Pallas score+sample
+    kernel (ops/pallas_kernels.py) — currently for all-nich specs.
+
+    Matches sweep_blocked in distribution; uses the TPU-core PRNG, so draws
+    differ bitwise from the XLA path."""
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as _cl
+
+    assert pk.supports_pallas(spec), 'pallas sweep requires nich blocks'
+    R = assignments.shape[0]
+    assert R % block == 0
+    n_blocks = R // block
+    keys = jax.random.split(key, n_blocks)
+    seeds = jax.vmap(
+        lambda k: jax.random.key_data(k)[-1].astype(jnp.int32))(keys)
+
+    values_cat = jnp.concatenate(
+        [jnp.asarray(v) for v in values], axis=1)     # [R, total_cols]
+    tiled_values = values_cat.reshape(n_blocks, block, -1)
+    row_stats = mx.precompute_row_stats(spec, shareds, values)
+    tiled_stats = tuple(
+        rs.reshape((n_blocks, block) + rs.shape[1:]) for rs in row_stats)
+    tiled_assign = assignments.reshape(n_blocks, block)
+
+    def step(state, inp):
+        tile_vals, tile_stats, tile_assign, seed = inp
+        cd, tiles = mx.tile_deltas_fast(
+            spec, shareds, tile_stats, tile_assign)
+        state = mx.apply_stat_tiles(
+            spec, shareds, state, cd, tiles, -1, block)
+
+        cl_scores = _cl.score_value(
+            cl_model, state.counts, state.alive, state.sample_size)
+        coeffs = jnp.concatenate(
+            [pk.nich_coeffs(shared, group)
+             for shared, group in zip(shareds, state.groups)], axis=0)
+        new_assign = pk.nich_score_sample(
+            seed, tile_vals, cl_scores, coeffs, block_rows=block_rows)
+
+        cd, tiles = mx.tile_deltas_fast(
+            spec, shareds, tile_stats, new_assign)
+        state = mx.apply_stat_tiles(
+            spec, shareds, state, cd, tiles, +1, block)
+        return state, new_assign
+
+    state, new_tiled = lax.scan(
+        step, state, (tiled_values, tiled_stats, tiled_assign, seeds))
+    return state, new_tiled.reshape(R)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def sequential_init(spec, cl_model, shareds, state, values, key):
     """Sequential (greedy posterior-predictive) initialization: assign rows

@@ -1,0 +1,130 @@
+"""Pallas TPU kernels: the fused score+sample inner loop of blocked
+collapsed Gibbs.
+
+The XLA path (mixture.score_batch + jax.random.categorical) materializes the
+[B, C] score matrix in HBM twice (write scores, read for gumbel+argmax).  At
+the target rates that round trip is the bandwidth bottleneck, so this kernel
+fuses, per row-block of BR rows:
+
+    scores[BR, C] = clustering_scores
+                  + sum_cols (score_c + log_coeff_c * log1p(prec_c (v-m)^2))
+    g            ~ Gumbel via pltpu.prng_random_bits
+    out[BR]      = argmax(scores + g)
+
+entirely in VMEM — HBM traffic is just values in, assignments out.  The
+per-slot coefficient vectors {score, log_coeff, precision, mean} (the
+reference's cached MixtureValueScorer columns, src/models/nich.cc:33-67) are
+computed outside the kernel from the [C] suff stats.
+
+RNG: seeded per (sweep_key, row_block) from pltpu.prng_seed — counter-based
+and layout-independent, but a *different stream* than jax.random.categorical,
+so the pallas path equals the XLA path in distribution, not bitwise.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_ROWS = 256
+
+
+def _gumbel_from_bits(bits):
+    # low 24 bits -> uniform in (0, 1); double -log for gumbel.
+    # int32 path: mosaic lacks uint32->f32 casts, so mask to a positive
+    # 24-bit int32 first.
+    masked = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32),
+                             jnp.int32(0x00FFFFFF))
+    u = masked.astype(jnp.float32) * (1.0 / (1 << 24))
+    u = jnp.maximum(u, 1e-12)
+    return -jnp.log(-jnp.log(u))
+
+
+def _score_sample_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
+                         *, cols):
+    """One row-block: fused nich scoring + gumbel-max categorical.
+
+    values_ref: [BR, cols] VMEM
+    cl_ref:     [1, C]     clustering scores (-inf on dead slots)
+    coeff_ref:  [4*cols, C] rows = per-col {score, log_coeff, prec, mean}
+    out_ref:    [BR, 1]    chosen slot per row
+    """
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], i)
+
+    scores = cl_ref[0, :][None, :]                       # [1, C]
+    scores = jnp.broadcast_to(scores, (values_ref.shape[0],
+                                       cl_ref.shape[1]))
+    for j in range(cols):
+        v = values_ref[:, j][:, None]                    # [BR, 1]
+        score = coeff_ref[4 * j, :][None, :]
+        log_coeff = coeff_ref[4 * j + 1, :][None, :]
+        prec = coeff_ref[4 * j + 2, :][None, :]
+        mean = coeff_ref[4 * j + 3, :][None, :]
+        t = v - mean
+        scores = scores + score + log_coeff * jnp.log1p(prec * t * t)
+
+    bits = pltpu.prng_random_bits(scores.shape)
+    total = scores + _gumbel_from_bits(bits)
+    out_ref[:, 0] = jnp.argmax(total, axis=1).astype(jnp.int32)
+
+
+def nich_score_sample(seed, values, cl_scores, coeffs,
+                      block_rows=DEFAULT_BLOCK_ROWS, interpret=False):
+    """Fused score+categorical for a nich feature block.
+
+    seed: int32 scalar (fold the sweep key + tile index outside)
+    values: [B, cols] f32; cl_scores: [C] f32; coeffs: [4*cols, C] f32
+    returns assignments [B] int32
+    """
+    B, cols = values.shape
+    C = cl_scores.shape[0]
+    assert B % block_rows == 0, (B, block_rows)
+    grid = (B // block_rows,)
+
+    out = pl.pallas_call(
+        functools.partial(_score_sample_kernel, cols=cols),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * cols, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), values,
+      cl_scores[None, :], coeffs)
+    return out[:, 0]
+
+
+def nich_coeffs(shared, group):
+    """[4*cols, C] cached scorer columns from [C, cols] nich groups
+    (reference src/models/nich.cc:33-67's {score, log_coeff, precision,
+    mean}).  Cheap [C]-sized math, fused by XLA outside the kernel."""
+    from distributions_tpu.models import nich as nich_mod
+    from distributions_tpu.special import gammaln
+
+    post = nich_mod.plus_group(shared, group)            # leaves [C, cols]
+    lambda_ = ((1.0 + post.kappa) * post.sigmasq) / post.kappa
+    score = (gammaln(0.5 * (post.nu + 1.0)) - gammaln(0.5 * post.nu)
+             - 0.5 * jnp.log(post.nu * jnp.pi * lambda_))
+    log_coeff = -0.5 * (post.nu + 1.0)
+    precision = 1.0 / (post.nu * lambda_)
+    # -> [cols, 4, C] -> [4*cols, C]
+    stack = jnp.stack([score, log_coeff, precision, post.mu],
+                      axis=-1)                            # [C, cols, 4]
+    return jnp.transpose(stack, (1, 2, 0)).reshape(-1, stack.shape[0])
+
+
+def supports_pallas(spec):
+    from distributions_tpu.models import nich as nich_mod
+    return all(b.module is nich_mod for b in spec.blocks)
