@@ -53,9 +53,18 @@ def main():
     state = mx.state_from_assignments(spec, cl, shareds, values, assignments)
     key = jax.random.PRNGKey(0)
 
-    def one_sweep(state, assignments, key):
-        return gibbs.sweep_blocked(
-            spec, cl, shareds, state, values, assignments, BLOCK, key=key)
+    use_pallas = (os.environ.get('BENCH_PALLAS', '1') == '1'
+                  and jax.devices()[0].platform != 'cpu')
+    if use_pallas:
+        def one_sweep(state, assignments, key):
+            return gibbs.sweep_blocked_pallas(
+                spec, cl, shareds, state, values, assignments, BLOCK,
+                int(os.environ.get('BENCH_KERNEL_ROWS', 512)), key=key)
+    else:
+        def one_sweep(state, assignments, key):
+            return gibbs.sweep_blocked(
+                spec, cl, shareds, state, values, assignments, BLOCK,
+                key=key)
 
     # warmup/compile.  NOTE: jax.block_until_ready does not actually block
     # on the tunneled axon backend — force a host read to synchronize.
@@ -95,8 +104,8 @@ def main():
                         if baseline else None),
     }
     print(json.dumps(out))
-    print('# R={} C={} block={} sweep={:.4f}s compile={:.1f}s device={}'
-          .format(R, C, BLOCK, elapsed, compile_time,
+    print("# R={} C={} block={} pallas={} sweep={:.4f}s compile={:.1f}s device={}"
+          .format(R, C, BLOCK, int(use_pallas), elapsed, compile_time,
                   jax.devices()[0].platform), file=sys.stderr)
 
 

@@ -406,3 +406,56 @@ def state_from_assignments(spec, cl_model, shareds, values, assignments):
     segment-sum pass (checkpoint-restore / init path)."""
     empty = init(spec, shareds)
     return add_tile(spec, cl_model, shareds, empty, values, assignments)
+
+
+def grow_capacity(spec, state, new_capacity):
+    """Host-side capacity growth: pad every [C]-leading leaf to
+    `new_capacity` slots (the TPU replacement for the reference's
+    push_back-driven growth, mixture.hpp:84-121: instead of growing by one
+    on every birth, re-allocate with headroom outside jit when nonempty
+    slots approach capacity).  Returns (new_spec, new_state)."""
+    C_old = spec.capacity
+    C_new = int(new_capacity)
+    assert C_new >= C_old
+    new_spec = spec._replace(capacity=C_new)
+    pad = C_new - C_old
+
+    def pad_leaf(a):
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, widths)
+
+    counts = pad_leaf(state.counts)
+    groups = tuple(
+        jax.tree_util.tree_map(pad_leaf, g) for g in state.groups)
+    return new_spec, MixtureState(
+        counts=counts,
+        alive=_recompute_alive(counts, new_spec.empties),
+        sample_size=state.sample_size,
+        groups=groups)
+
+
+def needs_growth(spec, state, headroom=0.125):
+    """True when fewer than `headroom * capacity` slots remain free."""
+    free = spec.capacity - int(np.asarray(nonempty_group_count(state)))
+    return free < max(1, int(headroom * spec.capacity))
+
+
+def score_data_grid(spec, cl_model, shareds_grid, state):
+    """Score the current groups under a grid of Shared hyperparameter
+    settings (reference dd.hpp:259-287 / mixture.hpp:238-247's
+    score_data_grid): pure vmap over the grid — the TPU replacement for the
+    reference's incremental between-grid-point updates.
+
+    shareds_grid: tuple of per-block Shared pytrees whose leaves carry a
+    leading grid axis [G].  Returns [G] total data scores (feature part
+    only, clustering term excluded as in the reference)."""
+    def score_with(shareds):
+        total = jnp.float32(0.0)
+        for block, shared, group in zip(spec.blocks, shareds, state.groups):
+            per = jax.vmap(
+                lambda g, s=shared, m=block.module: m.score_data(s, g),
+                in_axes=1, out_axes=0)(group)
+            total = total + jnp.sum(per)
+        return total
+
+    return jax.vmap(score_with)(shareds_grid)

@@ -168,3 +168,37 @@ def row_stat_columns(shared, values):
 def row_stats_to_tile(shared, sums):
     return Group(count=jnp.round(sums[..., 0]).astype(jnp.int32),
                  sum=jnp.round(sums[..., 1]).astype(jnp.int32))
+
+
+# -- uncollapsed parameter-space API (HMC/NUTS/VI backends) -----------------
+# params = {'logit_p': [..]}; p ~ Beta(alpha, beta), NB(r, p) likelihood.
+
+def param_init(key, shared, shape=()):
+    mean = shared.alpha / (shared.alpha + shared.beta)
+    return {'logit_p': jnp.log(mean / (1 - mean))
+            + 0.1 * jax.random.normal(key, shape)}
+
+
+def param_log_prior(shared, params):
+    z = params['logit_p']
+    log_p = jax.nn.log_sigmoid(z)
+    log_1mp = jax.nn.log_sigmoid(-z)
+    beta_norm = (gammaln(shared.alpha + shared.beta)
+                 - gammaln(shared.alpha) - gammaln(shared.beta))
+    return (beta_norm + (shared.alpha - 1.0) * log_p
+            + (shared.beta - 1.0) * log_1mp + log_p + log_1mp)
+
+
+def param_log_likelihood(shared, params, value):
+    """log NB(x | r, p) with the reference's un-normalized density
+    p^r (1-p)^x (reference dbg/models/bnb.py:28-41) plus the binomial
+    coefficient for a proper pmf."""
+    z = params['logit_p']
+    v = jnp.asarray(value, jnp.float32)
+    r = jnp.asarray(shared.r, jnp.float32)
+    return (gammaln(v + r) - gammaln(r) - gammaln(v + 1.0)
+            + r * jax.nn.log_sigmoid(z) + v * jax.nn.log_sigmoid(-z))
+
+
+def param_constrain(shared, params):
+    return {'p': jax.nn.sigmoid(params['logit_p'])}

@@ -232,6 +232,90 @@ def from_values_grouped(shared, values, assignments, num_groups):
                                  assignments, num_groups))
 
 
+# -- uncollapsed parameter-space API (HMC/NUTS/VI backends) -----------------
+# params = {'mu': [.., D], 'chol': [.., D*(D+1)/2]}: Sigma = L L^T with L
+# lower-triangular, diagonal exp-transformed for unconstrained sampling.
+
+def _tri_indices(d):
+    return np.tril_indices(d)
+
+
+def _unpack_chol(chol_flat, d):
+    """[.., D(D+1)/2] -> lower-tri L with exp'd diagonal; also returns the
+    raw diagonal entries (for the Jacobian)."""
+    rows, cols = _tri_indices(d)
+    L = jnp.zeros(chol_flat.shape[:-1] + (d, d))
+    L = L.at[..., rows, cols].set(chol_flat)
+    raw_diag = jnp.diagonal(L, axis1=-2, axis2=-1)
+    L = L - jnp.zeros_like(L).at[..., jnp.arange(d), jnp.arange(d)].set(
+        raw_diag) + jnp.zeros_like(L).at[
+            ..., jnp.arange(d), jnp.arange(d)].set(jnp.exp(raw_diag))
+    return L, raw_diag
+
+
+def param_init(key, shared, shape=()):
+    d = dim(shared)
+    k1, k2 = jax.random.split(key)
+    n_tri = d * (d + 1) // 2
+    return {
+        'mu': jnp.broadcast_to(shared.mu, shape + (d,))
+        + 0.1 * jax.random.normal(k1, shape + (d,)),
+        'chol': 0.05 * jax.random.normal(k2, shape + (n_tri,)),
+    }
+
+
+def param_log_prior(shared, params):
+    """NIW(mu0, kappa, psi, nu) density over (mu, Sigma=LL^T) plus the
+    log-Jacobian of the Cholesky/log-diag parameterization:
+    log|J| = D log 2 + sum_i (D - i + 2) l_ii (i 1-based)."""
+    d = dim(shared)
+    L, raw_diag = _unpack_chol(params['chol'], d)
+    logdet_sigma = 2.0 * jnp.sum(raw_diag, axis=-1)
+    # tr(psi Sigma^-1) = || L^-1 chol(psi) ||_F^2... use solves against L
+    sol = jax.scipy.linalg.solve_triangular(
+        L, jnp.broadcast_to(shared.psi, L.shape[:-2] + shared.psi.shape),
+        lower=True)
+    sol2 = jax.scipy.linalg.solve_triangular(
+        L, jnp.swapaxes(sol, -1, -2), lower=True)
+    trace_term = jnp.trace(sol2, axis1=-2, axis2=-1)
+    _, logdet_psi = jnp.linalg.slogdet(shared.psi)
+    nu = shared.nu
+    log_iw = (0.5 * nu * logdet_psi - 0.5 * nu * d * jnp.log(2.0)
+              - lmultigamma(d, 0.5 * nu)
+              - 0.5 * (nu + d + 1.0) * logdet_sigma
+              - 0.5 * trace_term)
+    # mu | Sigma ~ N(mu0, Sigma / kappa)
+    z = jnp.sqrt(shared.kappa) * (params['mu'] - shared.mu)
+    sol_mu = jax.scipy.linalg.solve_triangular(
+        L, z[..., None], lower=True)[..., 0]
+    log_mu = (-0.5 * d * jnp.log(2.0 * jnp.pi / shared.kappa)
+              - 0.5 * logdet_sigma
+              - 0.5 * jnp.sum(sol_mu * sol_mu, axis=-1))
+    weights = jnp.arange(d, 0, -1, dtype=jnp.float32) + 1.0  # D-i+2
+    jacobian = d * jnp.log(2.0) + jnp.sum(weights * raw_diag, axis=-1)
+    return log_iw + log_mu + jacobian
+
+
+def param_log_likelihood(shared, params, value):
+    d = dim(shared)
+    L, raw_diag = _unpack_chol(params['chol'], d)
+    v = jnp.asarray(value, jnp.float32)
+    z = v - params['mu']
+    bshape = jnp.broadcast_shapes(z.shape[:-1], L.shape[:-2])
+    Lb = jnp.broadcast_to(L, bshape + L.shape[-2:])
+    zb = jnp.broadcast_to(z, bshape + z.shape[-1:])
+    sol = jax.scipy.linalg.solve_triangular(
+        Lb, zb[..., None], lower=True)[..., 0]
+    logdet_sigma = 2.0 * jnp.sum(raw_diag, axis=-1)
+    return (-0.5 * d * jnp.log(2.0 * jnp.pi) - 0.5 * logdet_sigma
+            - 0.5 * jnp.sum(sol * sol, axis=-1))
+
+
+def param_constrain(shared, params):
+    L, _ = _unpack_chol(params['chol'], dim(shared))
+    return {'mu': params['mu'], 'sigma': L @ jnp.swapaxes(L, -1, -2)}
+
+
 # -- row-stat columns (single-matmul tile aggregation; see mixture.py) ------
 
 def row_stat_dim(shared):

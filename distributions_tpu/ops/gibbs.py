@@ -198,6 +198,25 @@ def sequential_init(spec, cl_model, shareds, state, values, key):
     return state, assignments
 
 
+def sweep_blocked_chains(spec, cl_model, shareds, states, values,
+                         assignments, block, keys):
+    """Chain parallelism: run one blocked sweep on N independent chains at
+    once (states/assignments/keys carry a leading [N] chain axis; values are
+    shared).  The analog of the reference's multiprocessing fan-out
+    (examples/mixture/main.py:365-374), as a vmap."""
+    return jax.vmap(
+        lambda st, an, k: sweep_blocked(
+            spec, cl_model, shareds, st, values, an, block, key=k)
+    )(states, assignments, keys)
+
+
+def init_chains(spec, cl_model, shareds, values, assignments_per_chain):
+    """Build [N]-chain states from an [N, R] assignment matrix."""
+    return jax.vmap(
+        lambda an: mx.state_from_assignments(
+            spec, cl_model, shareds, values, an))(assignments_per_chain)
+
+
 @partial(jax.jit, static_argnums=(0,))
 def prior_init(spec, cl_model, shareds, state, values, key):
     """Prior-predictive initialization: assign each row from the clustering

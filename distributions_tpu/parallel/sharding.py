@@ -124,6 +124,158 @@ def sharded_sweep_blocked(spec, cl_model, shareds, state, values,
     return run(values, assignments, state)
 
 
+COMPONENTS = 'components'
+
+
+def make_component_mesh(devices=None):
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (COMPONENTS,))
+
+
+def sharded_sweep_components(spec, cl_model, shareds, state, values,
+                             assignments, key, mesh, block):
+    """Blocked sweep with the COMPONENT axis sharded over the mesh (the
+    tensor-parallel analog): each device owns a contiguous slot range
+    [d*C_local, (d+1)*C_local), holding that range's counts and feature
+    suff stats.  Per tile:
+
+      1. every device builds stat deltas for its own slots (rows are
+         replicated; the one-hot contraction masks to the local range),
+      2. scores its [B, C_local] columns + local gumbel noise,
+      3. the global argmax is one max-reduction over the axis: psum-style
+         `pmax` of the local (max, argmax-global-id) pair — the score
+         matrix itself is never gathered (only [B] floats cross ICI).
+
+    Clustering scores need the global nonempty/empty counts: two scalar
+    psums.  spec.capacity must be divisible by the mesh size.
+    """
+    n_dev = mesh.devices.size
+    C = spec.capacity
+    assert C % n_dev == 0, 'capacity must divide over the component mesh'
+    R = assignments.shape[0]
+    assert R % block == 0
+
+    values = tuple(jnp.asarray(v) for v in values)
+    n_tiles = R // block
+
+    state_specs = mx.MixtureState(
+        counts=P(COMPONENTS), alive=P(COMPONENTS),
+        sample_size=P(),
+        groups=tuple(
+            jax.tree_util.tree_map(lambda _: P(COMPONENTS), g)
+            for g in state.groups))
+    in_specs = (state_specs, tuple(P() for _ in values), P(), P())
+    out_specs = (state_specs, P())
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def run(state, values_rep, assignments_rep, key):
+        shard = lax.axis_index(COMPONENTS)
+        C_local = C // n_dev
+        base = shard * C_local
+
+        row_stats = mx.precompute_row_stats(spec, shareds, values_rep)
+        tiled_stats = tuple(
+            rs.reshape((n_tiles, block) + rs.shape[1:]) for rs in row_stats)
+        tiled_assign = assignments_rep.reshape(n_tiles, block)
+        tiled_values = tuple(
+            v.reshape((n_tiles, block) + v.shape[1:]) for v in values_rep)
+        keys = jax.random.split(key, n_tiles)
+
+        def local_deltas(tile_stats, assign_global):
+            local = assign_global - base  # out-of-range drops in the onehot
+            onehot = (local[:, None] == jnp.arange(
+                C_local, dtype=local.dtype)).astype(jnp.float32)
+            cd = jnp.round(jnp.sum(onehot, axis=0)).astype(jnp.int32)
+            tiles = []
+            for b, shared, rs in zip(spec.blocks, shareds, tile_stats):
+                flat = rs.reshape(rs.shape[0], -1)
+                sums = jnp.matmul(onehot.T, flat,
+                                  preferred_element_type=jnp.float32)
+                sums = sums.reshape((C_local,) + rs.shape[1:])
+                tiles.append(b.module.row_stats_to_tile(shared, sums))
+            return cd, tuple(tiles)
+
+        def apply(state, cd, tiles, sign, n):
+            counts = state.counts + sign * cd
+            groups = []
+            for b, shared, group, tile in zip(
+                    spec.blocks, shareds, state.groups, tiles):
+                tg = mx._block_stats_to_group(b, shared, tile)
+                if sign > 0:
+                    g = b.module.merge(shared, group, tg)
+                else:
+                    g = b.module.unmerge(shared, group, tg)
+                    empty_now = counts == 0
+                    g = jax.tree_util.tree_map(
+                        lambda m: jnp.where(
+                            mx._expand(empty_now, m.ndim),
+                            jnp.zeros_like(m), m), g)
+                groups.append(g)
+            # alive: local nonempty + globally-coordinated reserved empties
+            # (keep it simple: every shard keeps its first `empties` empty
+            # slots alive; the clustering score splits mass over the global
+            # empty count)
+            alive = mx._recompute_alive(counts, spec.empties)
+            return mx.MixtureState(
+                counts=counts, alive=alive,
+                sample_size=state.sample_size + sign * n,
+                groups=tuple(groups))
+
+        def step(state, inp):
+            tile_vals, tile_stats, tile_assign, step_key = inp
+            cd, tiles = local_deltas(tile_stats, tile_assign)
+            state = apply(state, cd, tiles, -1, block)
+
+            # local slot scores with globally-correct normalization terms
+            is_empty = state.alive & (state.counts == 0)
+            local_empty = jnp.sum(is_empty.astype(jnp.int32))
+            local_nonempty = jnp.sum(
+                (state.alive & (state.counts > 0)).astype(jnp.int32))
+            g_empty = lax.psum(local_empty, COMPONENTS)
+            g_nonempty = lax.psum(local_nonempty, COMPONENTS)
+            n = jnp.asarray(state.sample_size, jnp.float32)
+            shift = -jnp.log(n + cl_model.alpha)
+            empty_score = jnp.log(
+                (cl_model.alpha + cl_model.d
+                 * g_nonempty.astype(jnp.float32))
+                / jnp.maximum(g_empty.astype(jnp.float32), 1.0)) + shift
+            occ = jnp.log(jnp.maximum(
+                state.counts.astype(jnp.float32) - cl_model.d,
+                1e-30)) + shift
+            cl_scores = jnp.where(is_empty, empty_score, occ)
+            cl_scores = jnp.where(state.alive, cl_scores, -jnp.inf)
+
+            scores = jnp.broadcast_to(cl_scores[None, :], (block, C_local))
+            for b, shared, group, v in zip(
+                    spec.blocks, shareds, state.groups, tile_vals):
+                scores = scores + jnp.where(
+                    state.alive[None, :],
+                    mx._block_score_batch(b, shared, group, v), 0.0)
+
+            # local gumbel-perturbed max -> global argmax via one pmax
+            gkey = jax.random.fold_in(step_key, shard)
+            gumbel = jax.random.gumbel(gkey, scores.shape)
+            total = scores + gumbel
+            local_best = jnp.max(total, axis=1)                  # [B]
+            local_arg = base + jnp.argmax(total, axis=1)         # [B]
+            global_best = lax.pmax(local_best, COMPONENTS)
+            winner = jnp.where(local_best == global_best, local_arg, -1)
+            new_assign = lax.pmax(winner, COMPONENTS).astype(jnp.int32)
+
+            cd, tiles = local_deltas(tile_stats, new_assign)
+            state = apply(state, cd, tiles, +1, block)
+            return state, new_assign
+
+        state, new_tiled = lax.scan(
+            step, state,
+            (tiled_values, tiled_stats, tiled_assign, keys))
+        return state, new_tiled.reshape(R)
+
+    return run(state, values, assignments, key)
+
+
 def sharded_score_data(spec, cl_model, shareds, state, mesh=None):
     """score_data on the replicated state (no collective needed — state is
     replicated; kept for API symmetry)."""

@@ -1,0 +1,60 @@
+"""Component-axis sharding tests on the 8-virtual-device mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from distributions_tpu import clustering, mixture as mx
+from distributions_tpu.models import nich
+from distributions_tpu.parallel import sharding
+
+PY = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+
+
+def make_problem(R=64, cols=2, C=32, seed=0):
+    rng = np.random.RandomState(seed)
+    spec = mx.make_spec([(nich, cols)], capacity=C, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 1.0, 'nu': 1.}),)
+    centers = rng.randn(3, cols) * 3
+    labels = rng.randint(0, 3, R)
+    values = (jnp.asarray(
+        centers[labels] + 0.3 * rng.randn(R, cols), jnp.float32),)
+    assignments = jnp.asarray(labels, jnp.int32)
+    return spec, shareds, values, assignments, labels
+
+
+def test_component_sharded_sweep():
+    spec, shareds, values, assignments, labels = make_problem()
+    mesh = sharding.make_component_mesh()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+    for i in range(10):
+        key, sub = jax.random.split(key)
+        state, assignments = sharding.sharded_sweep_components(
+            spec, PY, shareds, state, values, assignments, sub, mesh,
+            block=16)
+    counts = np.asarray(state.counts)
+    assert counts.sum() == 64
+    a = np.asarray(assignments)
+    expected = np.bincount(a, minlength=spec.capacity)
+    assert counts.tolist() == expected.tolist()
+    purity = sum(np.bincount(labels[a == k]).max()
+                 for k in np.unique(a)) / len(labels)
+    assert purity > 0.9, purity
+
+
+def test_component_sharded_matches_counts_invariants():
+    spec, shareds, values, assignments, _ = make_problem(seed=3)
+    mesh = sharding.make_component_mesh()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(1)
+    state2, assignments2 = sharding.sharded_sweep_components(
+        spec, PY, shareds, state, values, assignments, key, mesh, block=8)
+    # every shard keeps at least one alive empty slot
+    alive = np.asarray(state2.alive).reshape(8, -1)
+    counts = np.asarray(state2.counts).reshape(8, -1)
+    assert ((alive & (counts == 0)).sum(axis=1) >= 1).all()
+    assert int(state2.sample_size) == 64

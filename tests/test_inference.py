@@ -108,6 +108,46 @@ def test_hmc_gp_conjugate_posterior(key):
     assert_close(lam.mean(), expected, tol=0.05)
 
 
+def test_hmc_niw_conjugate_posterior(key):
+    from distributions_tpu.models import niw
+    shared = niw.shared_from_dict(
+        {'mu': np.zeros(2), 'kappa': 1.0, 'psi': np.eye(2), 'nu': 4.0})
+    rng = np.random.RandomState(0)
+    V = jnp.asarray(rng.randn(40, 2) + np.array([1.5, -0.5]), jnp.float32)
+
+    def logprob(params):
+        return (jnp.sum(niw.param_log_prior(shared, params))
+                + jnp.sum(niw.param_log_likelihood(shared, params, V)))
+
+    init = niw.param_init(jax.random.PRNGKey(1), shared)
+    samples, info = hmc_mod.hmc(key, logprob, init, num_samples=1500,
+                                num_warmup=700, num_leapfrog=24)
+    group = niw.group_init(shared)
+    for i in range(40):
+        group = niw.add_value(shared, group, V[i])
+    post = niw.plus_group(shared, group)
+    mu_mean = np.asarray(samples['mu']).mean(0)
+    assert np.abs(mu_mean - np.asarray(post.mu)).max() < 0.1
+
+
+def test_hmc_bnb_conjugate_posterior(key):
+    from distributions_tpu.models import bnb
+    shared = bnb.shared_from_dict({'alpha': 2.0, 'beta': 2.0, 'r': 3})
+    rng = np.random.RandomState(1)
+    V = jnp.asarray(rng.negative_binomial(3, 0.5, 30), jnp.int32)
+
+    def logprob(params):
+        return (jnp.sum(bnb.param_log_prior(shared, params))
+                + jnp.sum(bnb.param_log_likelihood(shared, params, V)))
+
+    init = bnb.param_init(jax.random.PRNGKey(2), shared)
+    samples, _ = hmc_mod.hmc(key, logprob, init, num_samples=2000,
+                             num_warmup=500, num_leapfrog=16)
+    p = 1 / (1 + np.exp(-np.asarray(samples['logit_p'])))
+    exact = (2.0 + 3 * 30) / (2.0 + 3 * 30 + 2.0 + float(V.sum()))
+    assert abs(p.mean() - exact) < 0.03
+
+
 def _blob_problem(R=64, K=8, seed=0):
     rng = np.random.RandomState(seed)
     spec = mx.make_spec([(nich, 2)], capacity=K, empties=1)

@@ -204,3 +204,23 @@ def test_sequential_init_runs():
     counts = np.asarray(state2.counts)
     expected = np.bincount(np.asarray(assignments), minlength=C)
     assert counts.tolist() == expected.tolist()
+
+
+def test_grow_capacity():
+    spec, shareds, values, assignments = make_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    score_before = float(mx.score_data(spec, PY, shareds, state))
+    new_spec, new_state = mx.grow_capacity(spec, state, 2 * C)
+    assert new_spec.capacity == 2 * C
+    counts = np.asarray(new_state.counts)
+    assert counts.shape == (2 * C,)
+    assert counts[:C].tolist() == np.asarray(state.counts).tolist()
+    assert (counts[C:] == 0).all()
+    score_after = float(mx.score_data(new_spec, PY, shareds, new_state))
+    assert abs(score_before - score_after) < 1e-3
+    # sweeps keep working at the new capacity
+    key = jax.random.PRNGKey(0)
+    st, an = gibbs.sweep_blocked(
+        new_spec, PY, shareds, new_state, values, assignments, 4, key=key)
+    assert np.asarray(st.counts).sum() == assignments.shape[0]
+    assert not mx.needs_growth(new_spec, new_state)
