@@ -1,0 +1,88 @@
+"""Production Gibbs runner: long-running sweeps with periodic
+checkpointing, automatic resume, invariant validation, and structured
+sweep logging — the failure-recovery story the single-process reference
+never needed (reference SURVEY §5: 'The new framework needs real
+multi-host checkpoint-restart instead')."""
+
+import os
+import time
+
+import numpy as np
+import jax
+
+from distributions_tpu import mixture as mx, debug, diagnostics
+from distributions_tpu.io import checkpoint
+from distributions_tpu.ops import gibbs
+
+
+def run_gibbs(spec, cl_model, shareds, values, key, passes,
+              block=4096, checkpoint_path=None, checkpoint_every=10,
+              resume=True, init='prior', use_pallas=False,
+              grow_headroom=0.125, log=None, mesh=None):
+    """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
+
+    - resumes from `checkpoint_path` when it exists (bitwise-continuing the
+      RNG stream),
+    - checkpoints every `checkpoint_every` sweeps,
+    - grows capacity outside jit when free slots drop below
+      `grow_headroom * capacity`,
+    - validates invariants at config.DEBUG_LEVEL >= 1,
+    - row-shards over `mesh` when given.
+
+    Returns (state, assignments, logger).
+    """
+    logger = log or diagnostics.SweepLogger()
+    start_pass = 0
+
+    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+        state, assignments, saved_key = checkpoint.load(
+            checkpoint_path, spec, shareds)
+        if saved_key is not None:
+            key = saved_key
+        start_pass = int(logger.rows[-1]['sweep']) + 1 if logger.rows else 0
+    else:
+        state = mx.init(spec, shareds)
+        key, sub = jax.random.split(key)
+        if init == 'prior':
+            state, assignments = gibbs.prior_init(
+                spec, cl_model, shareds, state, values, sub)
+        else:
+            state, assignments = gibbs.sequential_init(
+                spec, cl_model, shareds, state, values, sub)
+
+    for sweep in range(start_pass, passes):
+        if mx.needs_growth(spec, state, grow_headroom):
+            spec, state = mx.grow_capacity(spec, state, 2 * spec.capacity)
+
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        if mesh is not None:
+            from distributions_tpu.parallel import sharding
+            state, assignments = sharding.sharded_sweep_blocked(
+                spec, cl_model, shareds, state, values, assignments, sub,
+                mesh, block)
+        elif use_pallas:
+            state, assignments = gibbs.sweep_blocked_pallas(
+                spec, cl_model, shareds, state, values, assignments, block,
+                key=sub)
+        else:
+            state, assignments = gibbs.sweep_blocked(
+                spec, cl_model, shareds, state, values, assignments, block,
+                key=sub)
+        np.asarray(assignments)  # sync (axon block_until_ready is a no-op)
+        dt = time.time() - t0
+
+        debug.validate_state(spec, state)
+        debug.validate_assignments(spec, state, assignments)
+        stats = diagnostics.sweep_stats(spec, cl_model, shareds, state)
+        stats['seconds'] = round(dt, 4)
+        logger.log(sweep, **stats)
+
+        if checkpoint_path and (sweep + 1) % checkpoint_every == 0:
+            checkpoint.save(checkpoint_path, state,
+                            assignments=assignments, key=key)
+
+    if checkpoint_path:
+        checkpoint.save(checkpoint_path, state, assignments=assignments,
+                        key=key)
+    return state, assignments, logger

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from distributions_tpu.special import gammaln
+from distributions_tpu.special import gammaln, lgamma_nu
 from distributions_tpu.random import sample_chisq, sample_normal
 from distributions_tpu.models import base
 
@@ -38,7 +38,7 @@ _LOG_PI = 1.1447298858494002
 def score_student_t(x, nu, mu, sigmasq):
     """Scalar student-t log density, \\cite{murphy2007conjugate} Eq. 304
     (reference dbg/models/nich.py:45-54); broadcasts over all args."""
-    score = gammaln(0.5 * (nu + 1.0)) - gammaln(0.5 * nu)
+    score = lgamma_nu(nu)  # cancellation-safe lgamma((nu+1)/2)-lgamma(nu/2)
     score -= 0.5 * jnp.log(nu * jnp.pi * sigmasq)
     xt = x - mu
     s = xt * xt / sigmasq
@@ -184,7 +184,7 @@ def score_value_batch(shared, group, values):
     """
     post = plus_group(shared, group)
     lambda_ = ((1.0 + post.kappa) * post.sigmasq) / post.kappa     # [K]
-    score = (gammaln(0.5 * (post.nu + 1.0)) - gammaln(0.5 * post.nu)
+    score = (lgamma_nu(post.nu)
              - 0.5 * jnp.log(post.nu * jnp.pi * lambda_))          # [K]
     log_coeff = -0.5 * (post.nu + 1.0)                             # [K]
     precision = 1.0 / (post.nu * lambda_)                          # [K]

@@ -44,36 +44,42 @@ def _gumbel_from_bits(bits):
 
 
 def _score_sample_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
-                         *, cols):
+                         *, cols, compute_dtype=jnp.float32):
     """One row-block: fused nich scoring + gumbel-max categorical.
 
     values_ref: [BR, cols] VMEM
     cl_ref:     [1, C]     clustering scores (-inf on dead slots)
     coeff_ref:  [4*cols, C] rows = per-col {score, log_coeff, prec, mean}
     out_ref:    [BR, 1]    chosen slot per row
+
+    compute_dtype=bfloat16 halves VPU/VMEM cost of the elementwise score
+    math; the gumbel perturbation (stddev 1.28) dwarfs bf16's absolute
+    error on O(10) log scores, so the sampled distribution is unaffected
+    to within noise (validated statistically in tests).
     """
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], i)
 
-    scores = cl_ref[0, :][None, :]                       # [1, C]
-    scores = jnp.broadcast_to(scores, (values_ref.shape[0],
-                                       cl_ref.shape[1]))
+    cl = cl_ref[0, :][None, :].astype(compute_dtype)     # [1, C]
+    scores = jnp.broadcast_to(cl, (values_ref.shape[0],
+                                   cl_ref.shape[1]))
     for j in range(cols):
-        v = values_ref[:, j][:, None]                    # [BR, 1]
-        score = coeff_ref[4 * j, :][None, :]
-        log_coeff = coeff_ref[4 * j + 1, :][None, :]
-        prec = coeff_ref[4 * j + 2, :][None, :]
-        mean = coeff_ref[4 * j + 3, :][None, :]
+        v = values_ref[:, j][:, None].astype(compute_dtype)  # [BR, 1]
+        score = coeff_ref[4 * j, :][None, :].astype(compute_dtype)
+        log_coeff = coeff_ref[4 * j + 1, :][None, :].astype(compute_dtype)
+        prec = coeff_ref[4 * j + 2, :][None, :].astype(compute_dtype)
+        mean = coeff_ref[4 * j + 3, :][None, :].astype(compute_dtype)
         t = v - mean
         scores = scores + score + log_coeff * jnp.log1p(prec * t * t)
 
     bits = pltpu.prng_random_bits(scores.shape)
-    total = scores + _gumbel_from_bits(bits)
+    total = scores.astype(jnp.float32) + _gumbel_from_bits(bits)
     out_ref[:, 0] = jnp.argmax(total, axis=1).astype(jnp.int32)
 
 
 def nich_score_sample(seed, values, cl_scores, coeffs,
-                      block_rows=DEFAULT_BLOCK_ROWS, interpret=False):
+                      block_rows=DEFAULT_BLOCK_ROWS, interpret=False,
+                      compute_dtype=jnp.float32):
     """Fused score+categorical for a nich feature block.
 
     seed: int32 scalar (fold the sweep key + tile index outside)
@@ -86,7 +92,8 @@ def nich_score_sample(seed, values, cl_scores, coeffs,
     grid = (B // block_rows,)
 
     out = pl.pallas_call(
-        functools.partial(_score_sample_kernel, cols=cols),
+        functools.partial(_score_sample_kernel, cols=cols,
+                          compute_dtype=compute_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -111,11 +118,11 @@ def nich_coeffs(shared, group):
     (reference src/models/nich.cc:33-67's {score, log_coeff, precision,
     mean}).  Cheap [C]-sized math, fused by XLA outside the kernel."""
     from distributions_tpu.models import nich as nich_mod
-    from distributions_tpu.special import gammaln
+    from distributions_tpu.special import lgamma_nu
 
     post = nich_mod.plus_group(shared, group)            # leaves [C, cols]
     lambda_ = ((1.0 + post.kappa) * post.sigmasq) / post.kappa
-    score = (gammaln(0.5 * (post.nu + 1.0)) - gammaln(0.5 * post.nu)
+    score = (lgamma_nu(post.nu)
              - 0.5 * jnp.log(post.nu * jnp.pi * lambda_))
     log_coeff = -0.5 * (post.nu + 1.0)
     precision = 1.0 / (post.nu * lambda_)

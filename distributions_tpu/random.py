@@ -197,8 +197,12 @@ def score_student_t(x, nu, mu, sigma):
     mahal = jnp.sum(jnp.square(sol[..., 0]), axis=-1)
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)),
                            axis=-1)
-    from jax.scipy.special import gammaln
-    return (gammaln(0.5 * (nu + p)) - gammaln(0.5 * nu)
+    from distributions_tpu.special import lgamma_nu
+    # lgamma((nu+p)/2) - lgamma(nu/2) = sum_i lgamma_nu(nu + i),
+    # chained through the cancellation-safe helper
+    nu = jnp.asarray(nu, jnp.float32)
+    lg_ratio = sum(lgamma_nu(nu + i) for i in range(p))
+    return (lg_ratio
             - 0.5 * (p * jnp.log(nu * jnp.pi) + logdet
                      + (nu + p) * jnp.log1p(mahal / nu)))
 
@@ -252,6 +256,14 @@ def sample_inverse_wishart(key, nu, S):
         a, jnp.eye(d, dtype=jnp.float32), lower=True)
     m = chol_S @ inv_a.T
     return m @ m.T
+
+
+def sample_multivariate_normal(key, mu, cov, shape=()):
+    """MVN via Cholesky (reference random.hpp:188-206)."""
+    mu = jnp.asarray(mu, jnp.float32)
+    chol = jnp.linalg.cholesky(jnp.asarray(cov, jnp.float32))
+    z = jax.random.normal(key, shape + mu.shape)
+    return mu + z @ chol.T
 
 
 def sample_normal_inverse_wishart(key, mu0, kappa0, psi0, nu0):

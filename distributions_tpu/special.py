@@ -80,10 +80,18 @@ def factorial(n):
 
 def lgamma_nu(nu):
     """lgamma(nu/2 + 1/2) - lgamma(nu/2), the student-t coefficient
-    (reference special.hpp:239-273's `fast_lgamma_nu` 3rd-order per-octave
-    polynomial approximation; exact here)."""
+    (reference special.hpp:239-273's `fast_lgamma_nu`).
+
+    The naive difference cancels catastrophically in f32 for large nu (both
+    terms ~nu log nu while the difference is ~0.5 log nu — the very reason
+    the reference built a direct polynomial).  Above nu=64 the asymptotic
+    lgamma(x+1/2)-lgamma(x) = 0.5 log x - 1/(8x) + 1/(192 x^3) + O(x^-5)
+    (x = nu/2) is exact to <1e-7 relative."""
     nu = jnp.asarray(nu, jnp.float32)
-    return _gammaln(0.5 * nu + 0.5) - _gammaln(0.5 * nu)
+    direct = _gammaln(0.5 * nu + 0.5) - _gammaln(0.5 * nu)
+    x = jnp.maximum(0.5 * nu, 1e-30)
+    asym = 0.5 * jnp.log(x) - 1.0 / (8.0 * x) + 1.0 / (192.0 * x ** 3)
+    return jnp.where(nu < 64.0, direct, asym)
 
 
 fast_lgamma_nu = lgamma_nu

@@ -1,0 +1,82 @@
+"""Production runner tests: checkpoint/resume continuation, validation,
+capacity growth under load."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distributions_tpu import clustering, mixture as mx, config, debug
+from distributions_tpu.models import nich
+from distributions_tpu.inference import runner
+
+
+def _problem(R=64, seed=0):
+    rng = np.random.RandomState(seed)
+    spec = mx.make_spec([(nich, 2)], capacity=16, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 1.0, 'nu': 1.}),)
+    centers = np.array([[-2., -2.], [2., 2.]])
+    labels = rng.randint(0, 2, R)
+    values = (jnp.asarray(
+        centers[labels] + 0.3 * rng.randn(R, 2), jnp.float32),)
+    return spec, shareds, values
+
+
+def test_runner_end_to_end(tmp_path, monkeypatch):
+    monkeypatch.setattr(config, 'DEBUG_LEVEL', 2)
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    ckpt = str(tmp_path / 'run.ckpt')
+    key = jax.random.PRNGKey(0)
+
+    state, assignments, log = runner.run_gibbs(
+        spec, cl, shareds, values, key, passes=6, block=16,
+        checkpoint_path=ckpt, checkpoint_every=2)
+    assert os.path.exists(ckpt)
+    assert len(log.rows) == 6
+    assert log.rows[-1]['sample_size'] == 64
+    scores = [r['score_data'] for r in log.rows]
+    assert scores[-1] > scores[0]  # mixing improves fit
+
+    # resume continues from the checkpoint
+    state2, assignments2, log2 = runner.run_gibbs(
+        spec, cl, shareds, values, key, passes=2, block=16,
+        checkpoint_path=ckpt, checkpoint_every=10)
+    assert int(state2.sample_size) == 64
+
+
+def test_runner_grows_capacity():
+    # capacity 4 with alpha large -> growth triggers
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 1)], capacity=4, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
+    values = (jnp.asarray(rng.randn(64, 1) * 5, jnp.float32),)
+    cl = clustering.PitmanYor.from_dict({'alpha': 20.0, 'd': 0.1})
+    state, assignments, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(1), passes=5,
+        block=16)
+    assert np.asarray(state.counts).shape[0] >= 8  # grew beyond 4
+    assert int(state.sample_size) == 64
+
+
+def test_debug_validators():
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    assignments = jnp.zeros(64, jnp.int32)
+    state = mx.state_from_assignments(spec, cl, shareds, values, assignments)
+    old = config.DEBUG_LEVEL
+    config.DEBUG_LEVEL = 2
+    try:
+        debug.validate_state(spec, state)
+        debug.validate_assignments(spec, state, assignments)
+        # corrupt: counts mismatch must raise
+        bad = state._replace(counts=state.counts.at[0].add(1))
+        with pytest.raises(AssertionError):
+            debug.validate_state(spec, bad)
+    finally:
+        config.DEBUG_LEVEL = old
