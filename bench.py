@@ -56,10 +56,14 @@ def main():
     use_pallas = (os.environ.get('BENCH_PALLAS', '1') == '1'
                   and jax.devices()[0].platform != 'cpu')
     if use_pallas:
+        dtype = (jnp.bfloat16 if os.environ.get('BENCH_DTYPE') == 'bf16'
+                 else jnp.float32)
+
         def one_sweep(state, assignments, key):
             return gibbs.sweep_blocked_pallas(
                 spec, cl, shareds, state, values, assignments, BLOCK,
-                int(os.environ.get('BENCH_KERNEL_ROWS', 512)), key=key)
+                int(os.environ.get('BENCH_KERNEL_ROWS', 512)), key=key,
+                compute_dtype=dtype)
     else:
         def one_sweep(state, assignments, key):
             return gibbs.sweep_blocked(

@@ -320,6 +320,29 @@ def precompute_row_stats(spec, shareds, values):
         for block, shared, v in zip(spec.blocks, shareds, values))
 
 
+def tile_sums_fast(spec, shareds, row_stats, assignments):
+    """(counts_delta[C], per-block RAW sums [C, cols, S]) — the raw-sum form
+    is additive and cacheable: a tile's add-side sums in sweep t are exactly
+    its remove-side sums in sweep t+1."""
+    C = spec.capacity
+    onehot = (assignments[:, None]
+              == jnp.arange(C, dtype=assignments.dtype)).astype(jnp.float32)
+    counts_delta = jnp.round(jnp.sum(onehot, axis=0)).astype(jnp.int32)
+    sums = []
+    for block, shared, rs in zip(spec.blocks, shareds, row_stats):
+        B = rs.shape[0]
+        flat = rs.reshape(B, -1)
+        s = jnp.matmul(onehot.T, flat, preferred_element_type=jnp.float32)
+        sums.append(s.reshape((C,) + rs.shape[1:]))
+    return counts_delta, tuple(sums)
+
+
+def sums_to_tiles(spec, shareds, raw_sums):
+    return tuple(
+        block.module.row_stats_to_tile(shared, s)
+        for block, shared, s in zip(spec.blocks, shareds, raw_sums))
+
+
 def tile_deltas_fast(spec, shareds, row_stats, assignments):
     """(counts_delta[C], per-block additive stats [C, cols]) via one
     one-hot matmul per block — a [C, B] x [B, cols*S] contraction that

@@ -52,10 +52,11 @@ def _score_sample_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
     coeff_ref:  [4*cols, C] rows = per-col {score, log_coeff, prec, mean}
     out_ref:    [BR, 1]    chosen slot per row
 
-    compute_dtype=bfloat16 halves VPU/VMEM cost of the elementwise score
-    math; the gumbel perturbation (stddev 1.28) dwarfs bf16's absolute
-    error on O(10) log scores, so the sampled distribution is unaffected
-    to within noise (validated statistically in tests).
+    compute_dtype is kept for experimentation but bfloat16 is NOT
+    currently usable: Mosaic cannot legalize bf16 transcendentals
+    (math.log1p on vector<...xbf16> fails to compile), and the kernel is
+    transcendental-bound, so there is nothing to win by downcasting only
+    the multiplies.  Measured finding, see BENCH.md.
     """
     i = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], i)

@@ -9,20 +9,27 @@ the sitecustomize registration) before any backend initializes.
 
 import os
 
-os.environ['JAX_PLATFORMS'] = 'cpu'
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+# TEST_ON_TPU=1 leaves the ambient (axon TPU) platform in place, for the
+# hardware-only tests in test_tpu_pallas.py
+_USE_TPU = os.environ.get('TEST_ON_TPU') == '1'
+
+if not _USE_TPU:
+    os.environ['JAX_PLATFORMS'] = 'cpu'
+    flags = os.environ.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        os.environ['XLA_FLAGS'] = (
+            flags + ' --xla_force_host_platform_device_count=8').strip()
 os.environ.setdefault('JAX_ENABLE_X64', '0')
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+if not _USE_TPU:
+    jax.config.update('jax_platforms', 'cpu')
 
 import pytest  # noqa: E402
 
-assert jax.devices()[0].platform == 'cpu'
+if not _USE_TPU:
+    assert jax.devices()[0].platform == 'cpu'
 
 
 @pytest.fixture

@@ -224,3 +224,43 @@ def test_grow_capacity():
         new_spec, PY, shareds, new_state, values, assignments, 4, key=key)
     assert np.asarray(st.counts).sum() == assignments.shape[0]
     assert not mx.needs_growth(new_spec, new_state)
+
+
+def test_heterogeneous_blocks():
+    """Mixed feature blocks (nich x2 + gp x1 + bb x1) through init, scoring,
+    blocked sweep, and score_data."""
+    rng = np.random.RandomState(0)
+    R = 48
+    spec = mx.make_spec([(nich, 2), (gp, 1), (bb, 1)], capacity=C, empties=1)
+    shareds = (
+        nich.shared_from_dict({'mu': 0., 'kappa': .1, 'sigmasq': 1., 'nu': 1.}),
+        gp.shared_from_dict({'alpha': 1.0, 'inv_beta': 0.5}),
+        bb.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+    )
+    labels = rng.randint(0, 2, R)
+    values = (
+        jnp.asarray(np.array([[-2., -2.], [2., 2.]])[labels]
+                    + 0.3 * rng.randn(R, 2), jnp.float32),
+        jnp.asarray(rng.poisson(np.where(labels == 0, 2.0, 20.0))[:, None]),
+        jnp.asarray((rng.rand(R) < np.where(labels == 0, .1, .9))[:, None]),
+    )
+    assignments = jnp.asarray(rng.randint(0, 3, R), jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    # score_batch matches per-row score_value on alive slots
+    batch = np.asarray(mx.score_batch(spec, PY, shareds, state, values))
+    row = tuple(v[0] for v in values)
+    single = np.asarray(mx.score_value(spec, PY, shareds, state, row))
+    alive = np.asarray(state.alive)
+    np.testing.assert_allclose(batch[0][alive], single[alive],
+                               rtol=1e-3, atol=1e-3)
+    # sweeps converge toward the 2 true clusters
+    key = jax.random.PRNGKey(0)
+    for _ in range(12):
+        key, sub = jax.random.split(key)
+        state, assignments = gibbs.sweep_blocked(
+            spec, PY, shareds, state, values, assignments, 16, key=sub)
+    a = np.asarray(assignments)
+    purity = sum(np.bincount(labels[a == k]).max()
+                 for k in np.unique(a)) / R
+    assert purity > 0.9, purity
+    assert np.isfinite(float(mx.score_data(spec, PY, shareds, state)))

@@ -1,0 +1,96 @@
+"""Hardware-only tests for the Pallas fused kernels (the TPU-core PRNG is
+stubbed in interpret mode, so these must run on a real chip; they skip on
+CPU).  Run manually:
+
+    JAX_PLATFORMS=axon python -m pytest tests/test_tpu_pallas.py -q
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform == 'cpu',
+    reason='pallas PRNG requires real TPU')
+
+from distributions_tpu import clustering, mixture as mx
+from distributions_tpu.models import nich
+from distributions_tpu.ops import gibbs, pallas_kernels as pk
+
+PY = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+
+
+def _problem(R=4096, C=128, seed=0):
+    rng = np.random.RandomState(seed)
+    spec = mx.make_spec([(nich, 2)], capacity=C, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 1.0, 'nu': 1.}),)
+    centers = rng.randn(8, 2) * 3
+    labels = rng.randint(0, 8, R)
+    values = (jnp.asarray(
+        centers[labels] + 0.3 * rng.randn(R, 2), jnp.float32),)
+    assignments = jnp.asarray(labels, jnp.int32)
+    return spec, shareds, values, assignments, labels
+
+
+@requires_tpu
+def test_kernel_sampling_distribution():
+    spec, shareds, values, assignments, _ = _problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cl_scores = clustering.score_value(
+        PY, state.counts, state.alive, state.sample_size)
+    coeffs = pk.nich_coeffs(shareds[0], state.groups[0])
+    out = np.asarray(pk.nich_score_sample(
+        7, jnp.concatenate(values, axis=1), cl_scores, coeffs,
+        block_rows=256))
+    from scipy.special import softmax
+    ref = np.asarray(mx.score_batch(spec, PY, shareds, state, values))
+    p = softmax(ref, axis=1)
+    counts = np.bincount(out, minlength=spec.capacity).astype(float)
+    exp = p.sum(0)
+    var = np.maximum((p * (1 - p)).sum(0), 1e-9)
+    z = (counts - exp) / np.sqrt(var)
+    big = exp > 20
+    assert np.abs(z[big]).max() < 5.0, z[big]
+
+
+@requires_tpu
+def test_pallas_sweep_matches_xla_statistically():
+    spec, shareds, values, assignments, labels = _problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+    st_p, an_p = state, assignments
+    st_x, an_x = state, assignments
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        st_p, an_p = gibbs.sweep_blocked_pallas(
+            spec, PY, shareds, st_p, values, an_p, 1024, 256, key=sub)
+        st_x, an_x = gibbs.sweep_blocked(
+            spec, PY, shareds, st_x, values, an_x, 1024, key=sub)
+    sp = float(mx.score_data(spec, PY, shareds, st_p))
+    sx = float(mx.score_data(spec, PY, shareds, st_x))
+    # both should reach comparable fits on easy data
+    assert abs(sp - sx) / abs(sx) < 0.05, (sp, sx)
+
+
+@requires_tpu
+def test_cached_sweep_matches_uncached():
+    spec, shareds, values, assignments, _ = _problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(1)
+    cache = gibbs.build_stat_cache(spec, shareds, values, 1024, assignments)
+    st_c, an_c, cache = gibbs.sweep_blocked_pallas_cached(
+        spec, PY, shareds, state, values, assignments, 1024, 256, key,
+        cache)
+    st_u, an_u = gibbs.sweep_blocked_pallas(
+        spec, PY, shareds, state, values, assignments, 1024, 256, key=key)
+    # identical seeds + identical remove-side stats -> identical draws
+    assert np.asarray(an_c).tolist() == np.asarray(an_u).tolist()
+    assert np.asarray(st_c.counts).tolist() == \
+        np.asarray(st_u.counts).tolist()
+    # the emitted cache equals a fresh cache on the new assignments
+    fresh = gibbs.build_stat_cache(spec, shareds, values, 1024, an_c)
+    np.testing.assert_array_equal(np.asarray(cache[0]),
+                                  np.asarray(fresh[0]))
