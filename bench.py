@@ -26,11 +26,11 @@ import numpy as np
 
 def main():
     # sizes (env-overridable for smoke tests)
-    R = int(os.environ.get('BENCH_ROWS', 262144))
-    C = int(os.environ.get('BENCH_COMPONENTS', 512))
-    BLOCK = int(os.environ.get('BENCH_BLOCK', 8192))
+    R = int(os.environ.get('BENCH_ROWS', 1048576))
+    C = int(os.environ.get('BENCH_COMPONENTS', 1024))
+    BLOCK = int(os.environ.get('BENCH_BLOCK', 16384))
     FEATURES = 2
-    SWEEPS = int(os.environ.get('BENCH_SWEEPS', 20))
+    SWEEPS = int(os.environ.get('BENCH_SWEEPS', 10))
 
     import jax
     import jax.numpy as jnp

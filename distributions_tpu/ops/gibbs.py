@@ -200,7 +200,7 @@ def sequential_init(spec, cl_model, shareds, state, values, key):
     return state, assignments
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+@partial(jax.jit, static_argnums=(0, 3))
 def build_stat_cache(spec, shareds, values, block, assignments):
     """Per-tile (counts_delta [T, C], raw sums [T, C, cols, S]) for the
     current assignments — the remove-side inputs of the next sweep."""
