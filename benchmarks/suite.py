@@ -64,7 +64,9 @@ def bench_mixture():
                  lambda: rng.randn(R, 1).astype(np.float32)),
     }
 
-    for K in [64, 512, 1024]:
+    Ks = [int(k) for k in os.environ.get(
+        'BENCH_K', '64,512,1024').split(',')]
+    for K in Ks:
         for name, (module, shared_raw, gen) in cases.items():
             spec = mx.make_spec([(module, 1)], capacity=K, empties=1)
             shareds = (module.shared_from_dict(shared_raw),)

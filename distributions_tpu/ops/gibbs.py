@@ -299,11 +299,12 @@ def prior_init(spec, cl_model, shareds, state, values, key):
     R = jnp.asarray(values[0]).shape[0]
     keys = jax.random.split(key, R)
 
+    from distributions_tpu import clustering as _cl
+
     def step(carry, inp):
         state, assignments = carry
         i, step_key = inp
         row = tuple(jnp.asarray(v)[i] for v in values)
-        from distributions_tpu import clustering as _cl
         scores = _cl.score_value(
             cl_model, state.counts, state.alive, state.sample_size)
         k = sample_from_scores(step_key, scores)

@@ -198,3 +198,35 @@ def test_dpd_compat_shared_mutation():
     shared.realize()
     d2 = shared.dump()
     assert len(d2['betas']) > 6
+
+
+def test_niw_compat():
+    mod = cmodels.niw
+    example = mod.EXAMPLES[0]
+    shared = mod.Shared.from_dict(example['shared'])
+    group = mod.Group.from_values(shared, example['values'])
+    s = group.score_value(shared, example['values'][0])
+    assert np.isfinite(s)
+    assert np.isfinite(group.score_data(shared))
+    d = group.dump()
+    g2 = mod.Group.from_dict(d, shared)
+    assert_close(g2.dump(), d)
+    seed_all(0)
+    v = group.sample_value(shared)
+    assert np.asarray(v).shape == (2,)
+
+
+def test_dpd_compat_group_roundtrip():
+    seed_all(0)
+    mod = cmodels.dpd
+    example = mod.EXAMPLES[0]
+    shared = mod.Shared.from_dict(example['shared'])
+    group = mod.Group.from_values(shared, example['values'])
+    d = group.dump(shared)
+    g2 = mod.Group.from_dict(d, shared)
+    assert_close(g2.dump(shared), d)
+    s = group.score_value(shared, 7)
+    assert np.isfinite(s)
+    # OTHER scores the unbroken mass
+    other_score = group.score_value(shared, -1)
+    assert np.isfinite(other_score) or other_score == -np.inf

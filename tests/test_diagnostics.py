@@ -92,3 +92,28 @@ def test_score_data_grid():
                     lambda a: a[k, j], state.groups[0])
                 expected += float(nich.score_data(shared_g, grp))
         assert_close(scores[g], expected, tol=1e-3)
+
+
+def test_hyperparameter_grid_steps():
+    from distributions_tpu.inference import hypers
+    spec, shareds, values = _problem()
+    assignments = jnp.asarray(
+        np.random.RandomState(1).randint(0, 3, 64), jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    # feature grid: kappa sweep; the chosen shared enters the tuple
+    G = 7
+    grid = nich.Shared(mu=jnp.zeros(G),
+                       kappa=jnp.logspace(-2, 1, G),
+                       sigmasq=jnp.ones(G), nu=jnp.ones(G))
+    key = jax.random.PRNGKey(0)
+    new_shareds, idx, scores = hypers.grid_step_feature(
+        key, spec, 0, shareds, state, grid, sample=False)
+    assert scores.shape == (G,)
+    assert float(scores[idx]) == float(scores.max())
+    assert float(new_shareds[0].kappa) == float(grid.kappa[idx])
+    # clustering grid
+    cl_grid = hypers.make_py_grid([0.5, 1.0, 2.0], [0.0, 0.1, 0.3])
+    chosen, cidx, cscores = hypers.grid_step_clustering(
+        key, cl_grid, state, sample=False)
+    assert cscores.shape == (9,)
+    assert np.isfinite(np.asarray(cscores)).all()
