@@ -33,16 +33,6 @@ def main():
     SWEEPS = int(os.environ.get('BENCH_SWEEPS', 10))
 
     import jax
-    # persistent compile cache: remote TPU compiles take minutes; cache hits
-    # make repeated bench runs start in seconds
-    cache_dir = os.environ.get('JAX_COMPILATION_CACHE_DIR',
-                               '/root/.cache/jax_comp')
-    try:
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
     from distributions_tpu import clustering, mixture as mx
     from distributions_tpu.ops import gibbs
