@@ -200,6 +200,132 @@ def sequential_init(spec, cl_model, shareds, state, values, key):
     return state, assignments
 
 
+def _block_supports(spec, values):
+    """Static per-block value supports for the mixed pallas sweep: None for
+    nich blocks, a sorted unique-value array for discrete blocks."""
+    import numpy as np
+    from distributions_tpu.models import nich as nich_mod
+    supports = []
+    for block, v in zip(spec.blocks, values):
+        if block.module is nich_mod:
+            supports.append(None)
+        else:
+            supports.append(np.unique(np.asarray(v)).astype(np.int32))
+    return tuple(supports)
+
+
+def sweep_blocked_pallas_mixed(spec, cl_model, shareds, state, values,
+                               assignments, block, key, supports=None,
+                               block_rows=256):
+    """Fused pallas sweep for ANY mix of nich blocks and bounded-support
+    discrete blocks (bb/dd/dpd/gp/bnb).
+
+    Discrete blocks are scored through per-tile [V, C] tables (V = support
+    size) computed by score_value_batch outside the kernel — the kernel
+    one-hots each row's support index and contracts on the MXU (the MXU
+    form of the reference's per-value score matrices, dd.hpp:346-474).
+    `supports` (from _block_supports) must cover every value in `values`.
+    """
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as _cl
+    from distributions_tpu.models import nich as nich_mod
+    import numpy as np
+
+    if supports is None:
+        supports = _block_supports(spec, values)
+    R = assignments.shape[0]
+    assert R % block == 0
+    n_blocks = R // block
+    C = spec.capacity
+
+    # static layout
+    nich_blocks = [i for i, b in enumerate(spec.blocks)
+                   if b.module is nich_mod]
+    table_blocks = [i for i, b in enumerate(spec.blocks)
+                    if b.module is not nich_mod]
+    V = max([len(supports[i]) for i in table_blocks], default=1)
+
+    # host-side precompute: support indices for table columns
+    nich_vals = (jnp.concatenate(
+        [jnp.asarray(values[i], jnp.float32) for i in nich_blocks], axis=1)
+        if nich_blocks else jnp.zeros((R, 0), jnp.float32))
+    if table_blocks:
+        idx_cols = []
+        for i in table_blocks:
+            sup = supports[i]
+            v = np.asarray(values[i])
+            idx = np.searchsorted(sup, v).astype(np.int32)
+            idx_cols.append(idx)
+        table_idx = jnp.asarray(np.concatenate(idx_cols, axis=1))
+    else:
+        table_idx = jnp.zeros((R, 0), jnp.int32)
+
+    supports_dev = tuple(
+        jnp.asarray(supports[i]) if supports[i] is not None else None
+        for i in range(len(spec.blocks)))
+
+    @partial(jax.jit, static_argnums=())
+    def run(state, assignments, key):
+        keys = jax.random.split(key, n_blocks)
+        seeds = jax.vmap(
+            lambda k: jax.random.key_data(k)[-1].astype(jnp.int32))(keys)
+        row_stats = mx.precompute_row_stats(spec, shareds, values)
+        tiled_stats = tuple(
+            rs.reshape((n_blocks, block) + rs.shape[1:])
+            for rs in row_stats)
+        tiled_assign = assignments.reshape(n_blocks, block)
+        tiled_nich = nich_vals.reshape(n_blocks, block, -1)
+        tiled_idx = table_idx.reshape(n_blocks, block, -1)
+
+        def step(state, inp):
+            t_nich, t_idx, tile_stats, tile_assign, seed = inp
+            cd, tiles = mx.tile_deltas_fast(
+                spec, shareds, tile_stats, tile_assign)
+            state = mx.apply_stat_tiles(
+                spec, shareds, state, cd, tiles, -1, block)
+
+            cl_scores = _cl.score_value(
+                cl_model, state.counts, state.alive, state.sample_size)
+            if nich_blocks:
+                coeffs = jnp.concatenate(
+                    [pk.nich_coeffs(shareds[i], state.groups[i])
+                     for i in nich_blocks], axis=0)
+            else:
+                coeffs = jnp.zeros((4, C), jnp.float32)
+            table_list = []
+            for i in table_blocks:
+                blk = spec.blocks[i]
+                sup = supports_dev[i]
+                # per col: [V_i, C] table; pad V_i -> V
+                per_col = jax.vmap(
+                    lambda g: blk.module.score_value_batch(
+                        shareds[i], g, sup),
+                    in_axes=1, out_axes=0)(state.groups[i])  # [cols, Vi, C]
+                pad = V - per_col.shape[1]
+                if pad:
+                    per_col = jnp.pad(per_col, ((0, 0), (0, pad), (0, 0)))
+                table_list.append(per_col)
+            tables = (jnp.concatenate(table_list, axis=0) if table_list
+                      else jnp.zeros((0, V, C), jnp.float32))
+
+            new_assign = pk.mixed_score_sample(
+                seed, t_nich, t_idx, cl_scores, coeffs, tables,
+                block_rows=block_rows)
+
+            cd, tiles = mx.tile_deltas_fast(
+                spec, shareds, tile_stats, new_assign)
+            state = mx.apply_stat_tiles(
+                spec, shareds, state, cd, tiles, +1, block)
+            return state, new_assign
+
+        state, new_tiled = lax.scan(
+            step, state,
+            (tiled_nich, tiled_idx, tiled_stats, tiled_assign, seeds))
+        return state, new_tiled.reshape(R)
+
+    return run(state, assignments, key)
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def build_stat_cache(spec, shareds, values, block, assignments):
     """Per-tile (counts_delta [T, C], raw sums [T, C, cols, S]) for the

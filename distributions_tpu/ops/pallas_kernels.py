@@ -136,3 +136,111 @@ def nich_coeffs(shared, group):
 def supports_pallas(spec):
     from distributions_tpu.models import nich as nich_mod
     return all(b.module is nich_mod for b in spec.blocks)
+
+
+# ---------------------------------------------------------------------------
+# Generic mixed kernel: nich analytic coefficients + discrete score TABLES.
+#
+# For a discrete feature column with support of V distinct values, the
+# per-slot scores form a [V, C] table (the reference's per-value score
+# matrix, dd.hpp:346-474 / dpd.hpp:571-577).  V << B, so the table is
+# computed OUTSIDE the kernel from score_value_batch (collapsing the
+# per-cell lgamma cost by a factor B/V), and the kernel turns each row's
+# value-index into a one-hot and rides the MXU:
+#
+#     scores += onehot(idx_col) [BR, V]  @  table_col [V, C]
+#
+# This covers bb/dd/dpd/gp/bnb (any bounded-support discrete model) with
+# zero per-model kernel code.
+
+def _mixed_kernel(seed_ref, nich_values_ref, idx_ref, cl_ref, coeff_ref,
+                  tables_ref, out_ref, *, nich_cols, table_cols, V):
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], i)
+    BR = out_ref.shape[0]
+    C = cl_ref.shape[1]
+
+    cl = cl_ref[0, :][None, :]
+    scores = jnp.broadcast_to(cl, (BR, C))
+    for j in range(nich_cols):
+        v = nich_values_ref[:, j][:, None]
+        score = coeff_ref[4 * j, :][None, :]
+        log_coeff = coeff_ref[4 * j + 1, :][None, :]
+        prec = coeff_ref[4 * j + 2, :][None, :]
+        mean = coeff_ref[4 * j + 3, :][None, :]
+        t = v - mean
+        scores = scores + score + log_coeff * jnp.log1p(prec * t * t)
+
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (BR, V), 1)
+    for j in range(table_cols):
+        onehot = (idx_ref[:, j][:, None] == iota_v).astype(jnp.float32)
+        scores = scores + jnp.dot(onehot, tables_ref[j],
+                                  preferred_element_type=jnp.float32)
+
+    bits = pltpu.prng_random_bits(scores.shape)
+    total = scores + _gumbel_from_bits(bits)
+    out_ref[:, 0] = jnp.argmax(total, axis=1).astype(jnp.int32)
+
+
+def mixed_score_sample(seed, nich_values, table_indices, cl_scores, coeffs,
+                       tables, block_rows=DEFAULT_BLOCK_ROWS,
+                       interpret=False):
+    """Fused score+categorical over nich columns + discrete table columns.
+
+    nich_values:  [B, nich_cols] f32 (nich_cols may be 0 -> pass [B, 1]
+                  zeros with coeffs zeros of shape [4, C] and nich_cols=0)
+    table_indices: [B, table_cols] int32 indices into each column's support
+    cl_scores: [C]; coeffs: [4*nich_cols(+), C]; tables: [table_cols, V, C]
+    """
+    B = table_indices.shape[0] if table_indices.size else \
+        nich_values.shape[0]
+    nich_cols = nich_values.shape[1] if nich_values.size else 0
+    table_cols = tables.shape[0]
+    V = tables.shape[1]
+    C = cl_scores.shape[0]
+    assert B % block_rows == 0
+
+    if nich_cols == 0:
+        nich_values = jnp.zeros((B, 1), jnp.float32)
+        coeffs = jnp.zeros((4, C), jnp.float32)
+    if table_cols == 0:
+        tables = jnp.zeros((1, V, C), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_mixed_kernel, nich_cols=nich_cols,
+                          table_cols=table_cols, V=V),
+        grid=(B // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, max(nich_cols, 1)),
+                         lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, max(table_cols, 1)),
+                         lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((coeffs.shape[0], C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(table_cols, 1), V, C),
+                         lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), nich_values,
+      table_indices if table_cols else jnp.zeros((B, 1), jnp.int32),
+      cl_scores[None, :], coeffs, tables)
+    return out[:, 0]
+
+
+def supports_mixed_pallas(spec):
+    """nich blocks + any discrete model with score_value_batch."""
+    from distributions_tpu.models import nich as nich_mod, niw as niw_mod
+    for b in spec.blocks:
+        if b.module is niw_mod:
+            return False
+        if b.module is not nich_mod and \
+                not hasattr(b.module, 'score_value_batch'):
+            return False
+    return True

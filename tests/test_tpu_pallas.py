@@ -17,6 +17,7 @@ requires_tpu = pytest.mark.skipif(
 
 from distributions_tpu import clustering, mixture as mx
 from distributions_tpu.models import nich
+from distributions_tpu.models import gp as gp_mod, bb as bb_mod
 from distributions_tpu.ops import gibbs, pallas_kernels as pk
 
 PY = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
@@ -94,3 +95,47 @@ def test_cached_sweep_matches_uncached():
     fresh = gibbs.build_stat_cache(spec, shareds, values, 1024, an_c)
     np.testing.assert_array_equal(np.asarray(cache[0]),
                                   np.asarray(fresh[0]))
+
+
+@requires_tpu
+def test_mixed_sweep_statistics():
+    """gp + bb + nich blocks through the generic table kernel; slot counts
+    must match XLA-path softmax expectations."""
+    rng = np.random.RandomState(0)
+    R, C = 4096, 64
+    spec = mx.make_spec([(nich, 1), (gp_mod, 1), (bb_mod, 1)],
+                        capacity=C, empties=1)
+    shareds = (
+        nich.shared_from_dict({'mu': 0., 'kappa': .1, 'sigmasq': 1., 'nu': 1.}),
+        gp_mod.shared_from_dict({'alpha': 1.0, 'inv_beta': 0.5}),
+        bb_mod.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+    )
+    labels = rng.randint(0, 3, R)
+    values = (
+        jnp.asarray(np.array([[-2.], [0.], [2.]])[labels]
+                    + 0.4 * rng.randn(R, 1), jnp.float32),
+        jnp.asarray(rng.poisson(np.where(labels == 0, 2., 9.))[:, None]),
+        jnp.asarray((rng.rand(R) < 0.3)[:, None]),
+    )
+    assignments = jnp.asarray(labels, jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+    st, an = gibbs.sweep_blocked_pallas_mixed(
+        spec, PY, shareds, state, values, assignments, R, key,
+        block_rows=256)
+    an = np.asarray(an)
+    counts = np.asarray(st.counts)
+    assert counts.sum() == R
+    assert np.bincount(an, minlength=C).tolist() == counts.tolist()
+    # single-tile sweep: compare against XLA softmax expectation on the
+    # tile-frozen (empty-removed) state
+    st_rm = mx.remove_tile(spec, PY, shareds, state, values, assignments)
+    from scipy.special import softmax
+    ref = np.asarray(mx.score_batch(spec, PY, shareds, st_rm, values))
+    p = softmax(ref, axis=1)
+    cnt = np.bincount(an, minlength=C).astype(float)
+    exp = p.sum(0)
+    var = np.maximum((p * (1 - p)).sum(0), 1e-9)
+    z = (cnt - exp) / np.sqrt(var)
+    big = exp > 20
+    assert np.abs(z[big]).max() < 5.0, z[big]
