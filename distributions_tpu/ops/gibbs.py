@@ -243,7 +243,11 @@ def sweep_blocked_pallas_mixed(spec, cl_model, shareds, state, values,
                    if b.module is nich_mod]
     table_blocks = [i for i, b in enumerate(spec.blocks)
                     if b.module is not nich_mod]
-    V = max([len(supports[i]) for i in table_blocks], default=1)
+    # pad the support axis to a lane multiple: unaligned [B, V] one-hots
+    # and [V, C] matmuls lower catastrophically on the MXU (measured:
+    # V=65 was ~8x slower than the XLA path; see BENCH.md)
+    V_raw = max([len(supports[i]) for i in table_blocks], default=1)
+    V = ((V_raw + 127) // 128) * 128
 
     # host-side precompute: support indices for table columns
     nich_vals = (jnp.concatenate(
