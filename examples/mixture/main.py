@@ -45,7 +45,7 @@ SAMPLES = os.path.join(DATA, 'samples.json.gz')
 SAMPLE_COUNT = 10000
 PASSES = 10
 EMPTY_GROUP_COUNT = 10  # reference main.py:51
-CAPACITY = 256
+CAPACITY = 768
 BLOCK = 500
 
 
