@@ -99,3 +99,58 @@ def test_splitmerge_jumps_merged_modes():
     purity = sum(np.bincount(labels[a == k]).max()
                  for k in np.unique(a)) / Rn
     assert purity > 0.9, purity
+
+
+def test_restricted_composite_chain_stationary():
+    posterior = exact_posterior()
+    assignments = jnp.zeros(R, jnp.int32)
+    state = mx.state_from_assignments(SPEC, PY, SHAREDS, VALUES, assignments)
+
+    def step(carry, key):
+        state, assignments = carry
+        k1, k2 = jax.random.split(key)
+        state, assignments = gibbs.sweep_sequential(
+            SPEC, PY, SHAREDS, state, VALUES, assignments, k1)
+        state, assignments, _ = splitmerge.split_merge_restricted(
+            SPEC, PY, SHAREDS, state, VALUES, assignments, k2,
+            n_intermediate=2)
+        return (state, assignments), assignments
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 4200)
+    (_, _), trace = lax.scan(step, (state, assignments), keys)
+    emp = empirical(np.asarray(trace))
+    tv = total_variation(emp, posterior)
+    assert tv < 0.05, (tv, emp, posterior)
+
+
+def test_restricted_splits_large_cluster():
+    # the case simple random splits cannot handle: 32 rows, two tight
+    # modes, initialized as ONE cluster — restricted-Gibbs proposals follow
+    # the data and split it within a few moves
+    rng = np.random.RandomState(0)
+    Rn = 32
+    spec = mx.make_spec([(nich, 1)], capacity=8, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.05, 'sigmasq': 0.5, 'nu': 1.}),)
+    labels = np.array([0] * 16 + [1] * 16)
+    X = np.where(labels == 0, -3.0, 3.0)[:, None] + 0.2 * rng.randn(Rn, 1)
+    values = (jnp.asarray(X, jnp.float32),)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.0})
+    assignments = jnp.zeros(Rn, jnp.int32)
+    state = mx.state_from_assignments(spec, cl, shareds, values, assignments)
+
+    key = jax.random.PRNGKey(4)
+    split_done = False
+    for _ in range(30):
+        key, sub = jax.random.split(key)
+        state, assignments, acc = splitmerge.split_merge_restricted(
+            spec, cl, shareds, state, values, assignments, sub,
+            n_intermediate=3)
+        if int((np.asarray(state.counts) > 0).sum()) >= 2:
+            split_done = True
+            break
+    assert split_done, 'restricted split never accepted in 30 moves'
+    a = np.asarray(assignments)
+    purity = sum(np.bincount(labels[a == k]).max()
+                 for k in np.unique(a)) / Rn
+    assert purity > 0.95, purity
