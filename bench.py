@@ -33,6 +33,10 @@ def main():
     SWEEPS = int(os.environ.get('BENCH_SWEEPS', 10))
 
     import jax
+    if os.environ.get('BENCH_FORCE_CPU') == '1':
+        # JAX_PLATFORMS env is overridden by the axon plugin registration;
+        # only the config knob reliably forces CPU (see tests/conftest.py)
+        jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from distributions_tpu import clustering, mixture as mx
     from distributions_tpu.ops import gibbs
@@ -55,39 +59,63 @@ def main():
 
     use_pallas = (os.environ.get('BENCH_PALLAS', '1') == '1'
                   and jax.devices()[0].platform != 'cpu')
-    if use_pallas:
+    kernel = os.environ.get('BENCH_KERNEL', 'v2')  # v2 | v1 | xla
+    kernel_rows = int(os.environ.get('BENCH_KERNEL_ROWS', 512))
+    if use_pallas and kernel == 'v2':
+        # v2: in-kernel stats + inverse-CDF sampling; remove-side sums are
+        # cache-carried between sweeps (the [1] element of the carry).
+        sampling = os.environ.get('BENCH_SAMPLING', 'cdf')
+        cache0 = gibbs.build_stat_cache(
+            spec, shareds, values, BLOCK, assignments)
+
+        def one_sweep(carry, key):
+            state, assignments, cache = carry
+            state, assignments, cache = gibbs.sweep_blocked_pallas_fused(
+                spec, cl, shareds, state, values, assignments, BLOCK,
+                kernel_rows, key, cache, sampling)
+            return state, assignments, cache
+
+        carry0 = (state, assignments, cache0)
+    elif use_pallas and kernel == 'v1':
         dtype = (jnp.bfloat16 if os.environ.get('BENCH_DTYPE') == 'bf16'
                  else jnp.float32)
 
-        def one_sweep(state, assignments, key):
-            return gibbs.sweep_blocked_pallas(
+        def one_sweep(carry, key):
+            state, assignments, _ = carry
+            state, assignments = gibbs.sweep_blocked_pallas(
                 spec, cl, shareds, state, values, assignments, BLOCK,
-                int(os.environ.get('BENCH_KERNEL_ROWS', 512)), key=key,
-                compute_dtype=dtype)
+                kernel_rows, key=key, compute_dtype=dtype)
+            return state, assignments, None
+
+        carry0 = (state, assignments, None)
     else:
-        def one_sweep(state, assignments, key):
-            return gibbs.sweep_blocked(
+        def one_sweep(carry, key):
+            state, assignments, _ = carry
+            state, assignments = gibbs.sweep_blocked(
                 spec, cl, shareds, state, values, assignments, BLOCK,
                 key=key)
+            return state, assignments, None
+
+        carry0 = (state, assignments, None)
 
     # warmup/compile.  NOTE: jax.block_until_ready does not actually block
     # on the tunneled axon backend — force a host read to synchronize.
     t0 = time.time()
-    state2, assignments2 = one_sweep(state, assignments, key)
-    np.asarray(assignments2)
+    carry = one_sweep(carry0, key)
+    np.asarray(carry[1])
     compile_time = time.time() - t0
 
     # second warmup pass to flush any remaining queue
-    st, an = one_sweep(state, assignments, key)
-    np.asarray(an)
+    carry = one_sweep(carry0, key)
+    np.asarray(carry[1])
 
     # timed sweeps
     t0 = time.time()
-    st, an = state, assignments
+    carry = carry0
     for i in range(SWEEPS):
         key, sub = jax.random.split(key)
-        st, an = one_sweep(st, an, sub)
-    np.asarray(an)
+        carry = one_sweep(carry, sub)
+    np.asarray(carry[1])
     elapsed = (time.time() - t0) / SWEEPS
 
     cells = float(R) * C * FEATURES
@@ -108,8 +136,10 @@ def main():
                         if baseline else None),
     }
     print(json.dumps(out))
-    print("# R={} C={} block={} pallas={} sweep={:.4f}s compile={:.1f}s device={}"
-          .format(R, C, BLOCK, int(use_pallas), elapsed, compile_time,
+    print("# R={} C={} block={} pallas={} kernel={} sweep={:.4f}s "
+          "compile={:.1f}s device={}"
+          .format(R, C, BLOCK, int(use_pallas), kernel if use_pallas
+                  else 'xla', elapsed, compile_time,
                   jax.devices()[0].platform), file=sys.stderr)
 
 

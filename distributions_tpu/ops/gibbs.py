@@ -402,6 +402,62 @@ def sweep_blocked_pallas_cached(spec, cl_model, shareds, state, values,
     return state, new_tiled.reshape(R), (out_cd, out_sums)
 
 
+@partial(jax.jit, static_argnums=(0, 6, 7, 10))
+def sweep_blocked_pallas_fused(spec, cl_model, shareds, state, values,
+                               assignments, block, block_rows, key, cache,
+                               sampling='cdf'):
+    """Blocked pallas sweep v2: the kernel fuses scoring, inverse-CDF
+    sampling AND the add-side suff-stat contraction; the remove side is the
+    cached add-side sums of the previous sweep (BENCH.md roadmap items
+    2+3+4 combined).  Outside the kernel a sweep step is only [C]-sized
+    coefficient math and tile-sum adds — no one-hot matmuls.
+
+    cache = build_stat_cache(spec, shareds, values, block, assignments) for
+    the CURRENT assignments.  Returns (state, assignments, new_cache).
+    """
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as _cl
+
+    assert pk.supports_pallas(spec), 'fused sweep requires nich blocks'
+    R = assignments.shape[0]
+    assert R % block == 0
+    n_blocks = R // block
+    keys = jax.random.split(key, n_blocks)
+    seeds = jax.vmap(
+        lambda k: jax.random.key_data(k)[-1].astype(jnp.int32))(keys)
+    col_groups = tuple(b.cols for b in spec.blocks)
+
+    values_cat = jnp.concatenate(
+        [jnp.asarray(v, jnp.float32) for v in values], axis=1)
+    tiled_values = values_cat.reshape(n_blocks, block, -1)
+    cached_cd, cached_sums = cache
+
+    def step(state, inp):
+        tile_vals, cd, sums, seed = inp
+        tiles = mx.sums_to_tiles(spec, shareds, sums)
+        state = mx.apply_stat_tiles(
+            spec, shareds, state, cd, tiles, -1, block)
+
+        cl_scores = _cl.score_value(
+            cl_model, state.counts, state.alive, state.sample_size)
+        coeffs = jnp.concatenate(
+            [pk.nich_coeffs_v2(shared, group)
+             for shared, group in zip(shareds, state.groups)], axis=0)
+        new_assign, stat_sums = pk.fused_score_sample_stats(
+            seed, tile_vals, cl_scores, coeffs, col_groups,
+            block_rows=block_rows, sampling=sampling)
+
+        new_cd, new_sums = pk.split_stat_sums(spec, stat_sums)
+        tiles = mx.sums_to_tiles(spec, shareds, new_sums)
+        state = mx.apply_stat_tiles(
+            spec, shareds, state, new_cd, tiles, +1, block)
+        return state, (new_assign, new_cd, new_sums)
+
+    state, (new_tiled, out_cd, out_sums) = lax.scan(
+        step, state, (tiled_values, cached_cd, cached_sums, seeds))
+    return state, new_tiled.reshape(R), (out_cd, out_sums)
+
+
 def sweep_blocked_chains(spec, cl_model, shareds, states, values,
                          assignments, block, keys):
     """Chain parallelism: run one blocked sweep on N independent chains at

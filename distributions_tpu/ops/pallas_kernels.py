@@ -244,3 +244,208 @@ def supports_mixed_pallas(spec):
                 not hasattr(b.module, 'score_value_batch'):
             return False
     return True
+
+
+# ---------------------------------------------------------------------------
+# v2 fused kernel: product-form scoring + inverse-CDF sampling + in-kernel
+# suff-stat contraction.
+#
+# Three changes over _score_sample_kernel, each removing per-cell work:
+#
+# 1. PRODUCT FORM.  Within one feature block all columns share the same
+#    posterior dof nu_k (it depends only on the component's count), hence
+#    the same student-t exponent log_coeff_k = -(nu_k+1)/2.  So
+#        sum_j lc * log1p(prec_j (v_j - m_j)^2)
+#      = lc * log( prod_j (1 + prec_j (v_j - m_j)^2) )
+#    — ONE log per block per cell instead of one log1p per column
+#    (reference does one log per column too: src/models/nich.cc:33-67).
+#
+# 2. INVERSE-CDF SAMPLING.  Gumbel-max costs per-cell random bits + two
+#    logs.  Instead: p = exp(score - max) (one exp/cell), inclusive prefix
+#    sums within 128-lane chunks via a [128,128] triangular matmul — on
+#    the otherwise-idle MXU — then idx = #(global_prefix < u * total) with
+#    ONE uniform per row.  Boundary semantics: zero-probability (dead)
+#    slots can never be selected (their prefix equals a neighbor's, and
+#    the count-of-strictly-less rule always lands on the first slot
+#    reaching each prefix value).
+#
+# 3. IN-KERNEL STATS.  The new assignments' one-hot is contracted against
+#    the row statistic columns [1, v, v^2] right in the kernel (MXU) and
+#    accumulated across the sequential grid into a [C, 3*cols] output.
+#    This replaces the XLA-side add-pass over the tile, and — because a
+#    tile's add-side sums in sweep t are its remove-side sums in sweep
+#    t+1 — the remove pass becomes a cached subtraction (see
+#    ops/gibbs.sweep_blocked_pallas_fused).  No one-hot matmul remains
+#    outside the kernel.
+
+def _fused_v2_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
+                     sums_ref, *, col_groups, sampling):
+    """col_groups: tuple of ncols per same-prior feature block.
+    coeff_ref rows, per group g: [base(=sum of per-col score consts),
+    log_coeff] then per col [prec, mean].  sums_ref: [C, 3*total_cols]
+    accumulated across the grid, column order [ones | v | v^2] blocks.
+    """
+    i = pl.program_id(0)
+    if sampling != 'argmax':      # 'argmax' = deterministic debug variant
+        pltpu.prng_seed(seed_ref[0], i)
+    BR = values_ref.shape[0]
+    C = cl_ref.shape[1]
+
+    scores = jnp.broadcast_to(cl_ref[0, :][None, :], (BR, C))
+    r = 0
+    c0 = 0
+    for ncols in col_groups:
+        base = coeff_ref[r, :][None, :]
+        lc = coeff_ref[r + 1, :][None, :]
+        r += 2
+        scores = scores + base
+        # product over columns in chunks of 4 to bound the factor magnitude
+        for j0 in range(0, ncols, 4):
+            prod = None
+            for j in range(j0, min(j0 + 4, ncols)):
+                prec = coeff_ref[r, :][None, :]
+                mean = coeff_ref[r + 1, :][None, :]
+                r += 2
+                v = values_ref[:, c0 + j][:, None]
+                t = v - mean
+                f = 1.0 + prec * (t * t)
+                prod = f if prod is None else prod * f
+            scores = scores + lc * jnp.log(prod)
+        c0 += ncols
+
+    if sampling == 'argmax':
+        idx = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    elif sampling == 'gumbel':
+        bits = pltpu.prng_random_bits(scores.shape)
+        total = scores + _gumbel_from_bits(bits)
+        idx = jnp.argmax(total, axis=1).astype(jnp.int32)
+    else:
+        # inverse CDF over 128-lane chunks
+        m = jnp.max(scores, axis=1, keepdims=True)
+        p = jnp.exp(scores - m)                                  # [BR, C]
+        tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+               <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+               ).astype(jnp.float32)                    # inclusive prefix
+        nch = C // 128
+        wps = []
+        carry = jnp.zeros((BR, 1), jnp.float32)
+        carries = []
+        for j in range(nch):
+            chunk = p[:, j * 128:(j + 1) * 128]
+            wp = jnp.dot(chunk, tri,
+                         preferred_element_type=jnp.float32)  # [BR, 128]
+            wps.append(wp)
+            carries.append(carry)
+            carry = carry + wp[:, 127][:, None]
+        total = carry                                            # [BR, 1]
+        bits = pltpu.prng_random_bits((BR, 128))
+        masked = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32),
+                                 jnp.int32(0x00FFFFFF))
+        u = masked[:, 0][:, None].astype(jnp.float32) * (1.0 / (1 << 24))
+        t = jnp.maximum(u, 1e-7) * total                         # [BR, 1]
+        idx = jnp.zeros((BR, 1), jnp.int32)
+        for j in range(nch):
+            gp = wps[j] + carries[j]                             # [BR, 128]
+            idx = idx + jnp.sum((gp < t).astype(jnp.int32), axis=1,
+                                keepdims=True)
+        idx = idx[:, 0]
+
+    out_ref[:, 0] = idx
+
+    # suff-stat contraction: onehot^T [C, BR] @ [ones | v | v^2] [BR, 3*cols]
+    vals = values_ref[:, :]                                      # [BR, cols]
+    stats = jnp.concatenate(
+        [jnp.ones_like(vals), vals, vals * vals], axis=1)        # [BR, 3cols]
+    onehot_t = (jax.lax.broadcasted_iota(jnp.int32, (C, BR), 0)
+                == idx[None, :]).astype(jnp.float32)             # [C, BR]
+    part = jnp.dot(onehot_t, stats,
+                   preferred_element_type=jnp.float32)           # [C, 3cols]
+
+    @pl.when(i == 0)
+    def _():
+        sums_ref[:, :] = jnp.zeros_like(sums_ref)
+
+    sums_ref[:, :] += part
+
+
+def fused_score_sample_stats(seed, values, cl_scores, coeffs, col_groups,
+                             block_rows=DEFAULT_BLOCK_ROWS, interpret=False,
+                             sampling='cdf'):
+    """v2 fused score + sample + stat-contraction for nich feature blocks.
+
+    values: [B, total_cols] f32; cl_scores: [C]; coeffs: [rows, C] per
+    nich_coeffs_v2 layout; col_groups: static tuple of per-block ncols.
+    Returns (assignments [B] int32, stat_sums [C, 3*total_cols] f32) where
+    stat_sums columns are [ones-block | v-block | v^2-block].
+    """
+    B, total_cols = values.shape
+    C = cl_scores.shape[0]
+    assert B % block_rows == 0, (B, block_rows)
+    assert C % 128 == 0, 'capacity must be a lane multiple'
+    assert sum(col_groups) == total_cols
+
+    out, sums = pl.pallas_call(
+        functools.partial(_fused_v2_kernel, col_groups=tuple(col_groups),
+                          sampling=sampling),
+        grid=(B // block_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((block_rows, total_cols), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((coeffs.shape[0], C), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * total_cols), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((C, 3 * total_cols), jnp.float32),
+        ],
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), values, cl_scores[None, :], coeffs)
+    return out[:, 0], sums
+
+
+def nich_coeffs_v2(shared, group):
+    """Product-form coefficient rows for one nich block: [2 + 2*cols, C] =
+    [sum-of-score-consts; log_coeff; then per col prec; mean].  log_coeff
+    is column-independent because nu_post = nu0 + count."""
+    from distributions_tpu.models import nich as nich_mod
+    from distributions_tpu.special import lgamma_nu
+
+    post = nich_mod.plus_group(shared, group)            # leaves [C, cols]
+    lambda_ = ((1.0 + post.kappa) * post.sigmasq) / post.kappa
+    score = (lgamma_nu(post.nu)
+             - 0.5 * jnp.log(post.nu * jnp.pi * lambda_))   # [C, cols]
+    base = jnp.sum(score, axis=1)                           # [C]
+    lc = -0.5 * (post.nu[:, 0] + 1.0)                       # [C]
+    precision = 1.0 / (post.nu * lambda_)                   # [C, cols]
+    cols = precision.shape[1]
+    rows = [base, lc]
+    for j in range(cols):
+        rows.append(precision[:, j])
+        rows.append(post.mu[:, j])
+    return jnp.stack(rows, axis=0)                          # [2+2c, C]
+
+
+def split_stat_sums(spec, sums):
+    """[C, 3*total_cols] kernel sums -> (counts_delta [C] int32,
+    per-block raw sums [C, cols, 3]) matching mixture.tile_sums_fast."""
+    total_cols = sum(b.cols for b in spec.blocks)
+    ones = sums[:, :total_cols]
+    v = sums[:, total_cols:2 * total_cols]
+    vv = sums[:, 2 * total_cols:]
+    counts = jnp.round(ones[:, 0]).astype(jnp.int32)
+    out = []
+    c0 = 0
+    for b in spec.blocks:
+        sl = slice(c0, c0 + b.cols)
+        out.append(jnp.stack([ones[:, sl], v[:, sl], vv[:, sl]], axis=-1))
+        c0 += b.cols
+    return counts, tuple(out)

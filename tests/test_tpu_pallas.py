@@ -98,6 +98,64 @@ def test_cached_sweep_matches_uncached():
 
 
 @requires_tpu
+def test_fused_v2_kernel_distribution_and_stats():
+    """v2 kernel (product-form scoring + inverse-CDF sampling + in-kernel
+    stat contraction): draws must match the XLA softmax expectation and
+    the emitted stat sums must equal the XLA one-hot contraction."""
+    spec, shareds, values, assignments, _ = _problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cl_scores = clustering.score_value(
+        PY, state.counts, state.alive, state.sample_size)
+    coeffs = pk.nich_coeffs_v2(shareds[0], state.groups[0])
+    out, sums = pk.fused_score_sample_stats(
+        7, jnp.concatenate(values, axis=1), cl_scores, coeffs, (2,),
+        block_rows=256)
+    out = np.asarray(out)
+
+    cd2, raw2 = pk.split_stat_sums(spec, sums)
+    cd, raw = mx.tile_sums_fast(
+        spec, shareds, mx.precompute_row_stats(spec, shareds, values),
+        jnp.asarray(out))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(cd2))
+    np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(raw2[0]),
+                               rtol=1e-5, atol=1e-3)
+
+    from scipy.special import softmax
+    ref = np.asarray(mx.score_batch(spec, PY, shareds, state, values))
+    p = softmax(ref, axis=1)
+    counts = np.bincount(out, minlength=spec.capacity).astype(float)
+    exp = p.sum(0)
+    var = np.maximum((p * (1 - p)).sum(0), 1e-9)
+    z = (counts - exp) / np.sqrt(var)
+    big = exp > 20
+    assert np.abs(z[big]).max() < 5.0, z[big]
+
+
+@requires_tpu
+def test_fused_v2_sweep():
+    """Cache-carried v2 sweep reaches the same fit as the XLA blocked sweep
+    and its emitted cache equals a fresh cache on the new assignments."""
+    spec, shareds, values, assignments, _ = _problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+    cache = gibbs.build_stat_cache(spec, shareds, values, 1024, assignments)
+    st_f, an_f = state, assignments
+    st_x, an_x = state, assignments
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        st_f, an_f, cache = gibbs.sweep_blocked_pallas_fused(
+            spec, PY, shareds, st_f, values, an_f, 1024, 256, sub, cache)
+        st_x, an_x = gibbs.sweep_blocked(
+            spec, PY, shareds, st_x, values, an_x, 1024, key=sub)
+    fresh = gibbs.build_stat_cache(spec, shareds, values, 1024, an_f)
+    np.testing.assert_array_equal(np.asarray(cache[0]),
+                                  np.asarray(fresh[0]))
+    sf = float(mx.score_data(spec, PY, shareds, st_f))
+    sx = float(mx.score_data(spec, PY, shareds, st_x))
+    assert abs(sf - sx) / abs(sx) < 0.05, (sf, sx)
+
+
+@requires_tpu
 def test_mixed_sweep_statistics():
     """gp + bb + nich blocks through the generic table kernel; slot counts
     must match XLA-path softmax expectations."""
