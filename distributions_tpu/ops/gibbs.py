@@ -216,15 +216,21 @@ def _block_supports(spec, values):
 
 def sweep_blocked_pallas_mixed(spec, cl_model, shareds, state, values,
                                assignments, block, key, supports=None,
-                               block_rows=256):
-    """Fused pallas sweep for ANY mix of nich blocks and bounded-support
+                               block_rows=256, backend='pallas'):
+    """Fused sweep for ANY mix of nich blocks and bounded-support
     discrete blocks (bb/dd/dpd/gp/bnb).
 
     Discrete blocks are scored through per-tile [V, C] tables (V = support
-    size) computed by score_value_batch outside the kernel — the kernel
-    one-hots each row's support index and contracts on the MXU (the MXU
-    form of the reference's per-value score matrices, dd.hpp:346-474).
+    size) computed by score_value_batch — collapsing the per-cell lgamma
+    cost by a factor B/V — then each row's support index is one-hotted and
+    contracted against the table on the MXU (the MXU form of the
+    reference's per-value score matrices, dd.hpp:346-474).
     `supports` (from _block_supports) must cover every value in `values`.
+
+    backend='pallas' fuses score+sample in the Mosaic kernel;
+    backend='xla' builds the same scores in XLA (one-hot matmuls) and
+    samples with jax.random.categorical — measured faster than the Mosaic
+    lowering for table-heavy specs (see BENCH.md).
     """
     from distributions_tpu.ops import pallas_kernels as pk
     from distributions_tpu import clustering as _cl
@@ -282,7 +288,7 @@ def sweep_blocked_pallas_mixed(spec, cl_model, shareds, state, values,
         tiled_idx = table_idx.reshape(n_blocks, block, -1)
 
         def step(state, inp):
-            t_nich, t_idx, tile_stats, tile_assign, seed = inp
+            t_nich, t_idx, tile_stats, tile_assign, seed, step_key = inp
             cd, tiles = mx.tile_deltas_fast(
                 spec, shareds, tile_stats, tile_assign)
             state = mx.apply_stat_tiles(
@@ -290,31 +296,62 @@ def sweep_blocked_pallas_mixed(spec, cl_model, shareds, state, values,
 
             cl_scores = _cl.score_value(
                 cl_model, state.counts, state.alive, state.sample_size)
-            if nich_blocks:
-                coeffs = jnp.concatenate(
-                    [pk.nich_coeffs(shareds[i], state.groups[i])
-                     for i in nich_blocks], axis=0)
-            else:
-                coeffs = jnp.zeros((4, C), jnp.float32)
-            table_list = []
-            for i in table_blocks:
-                blk = spec.blocks[i]
-                sup = supports_dev[i]
-                # per col: [V_i, C] table; pad V_i -> V
-                per_col = jax.vmap(
-                    lambda g: blk.module.score_value_batch(
-                        shareds[i], g, sup),
-                    in_axes=1, out_axes=0)(state.groups[i])  # [cols, Vi, C]
-                pad = V - per_col.shape[1]
-                if pad:
-                    per_col = jnp.pad(per_col, ((0, 0), (0, pad), (0, 0)))
-                table_list.append(per_col)
-            tables = (jnp.concatenate(table_list, axis=0) if table_list
-                      else jnp.zeros((0, V, C), jnp.float32))
 
-            new_assign = pk.mixed_score_sample(
-                seed, t_nich, t_idx, cl_scores, coeffs, tables,
-                block_rows=block_rows)
+            if backend == 'xla':
+                scores = jnp.broadcast_to(cl_scores[None, :], (block, C))
+                col0 = 0
+                for i in nich_blocks:
+                    cols_i = spec.blocks[i].cols
+                    scores = scores + mx._block_score_batch(
+                        spec.blocks[i], shareds[i], state.groups[i],
+                        t_nich[:, col0:col0 + cols_i])
+                    col0 += cols_i
+                tcol = 0
+                for i in table_blocks:
+                    blk = spec.blocks[i]
+                    sup = supports_dev[i]
+                    Vi = sup.shape[0]
+                    per_col = jax.vmap(
+                        lambda g: blk.module.score_value_batch(
+                            shareds[i], g, sup),
+                        in_axes=1, out_axes=0)(state.groups[i])  # [c, Vi, C]
+                    for j in range(blk.cols):
+                        onehot = (t_idx[:, tcol][:, None]
+                                  == jnp.arange(Vi)[None, :]
+                                  ).astype(jnp.float32)           # [B, Vi]
+                        scores = scores + jnp.matmul(
+                            onehot, per_col[j],
+                            preferred_element_type=jnp.float32)
+                        tcol += 1
+                new_assign = sample_from_scores(
+                    step_key, scores).astype(jnp.int32)
+            else:
+                if nich_blocks:
+                    coeffs = jnp.concatenate(
+                        [pk.nich_coeffs(shareds[i], state.groups[i])
+                         for i in nich_blocks], axis=0)
+                else:
+                    coeffs = jnp.zeros((4, C), jnp.float32)
+                table_list = []
+                for i in table_blocks:
+                    blk = spec.blocks[i]
+                    sup = supports_dev[i]
+                    # per col: [V_i, C] table; pad V_i -> V
+                    per_col = jax.vmap(
+                        lambda g: blk.module.score_value_batch(
+                            shareds[i], g, sup),
+                        in_axes=1, out_axes=0)(state.groups[i])  # [c, Vi, C]
+                    pad = V - per_col.shape[1]
+                    if pad:
+                        per_col = jnp.pad(per_col,
+                                          ((0, 0), (0, pad), (0, 0)))
+                    table_list.append(per_col)
+                tables = (jnp.concatenate(table_list, axis=0) if table_list
+                          else jnp.zeros((0, V, C), jnp.float32))
+
+                new_assign = pk.mixed_score_sample(
+                    seed, t_nich, t_idx, cl_scores, coeffs, tables,
+                    block_rows=block_rows)
 
             cd, tiles = mx.tile_deltas_fast(
                 spec, shareds, tile_stats, new_assign)
@@ -324,7 +361,7 @@ def sweep_blocked_pallas_mixed(spec, cl_model, shareds, state, values,
 
         state, new_tiled = lax.scan(
             step, state,
-            (tiled_nich, tiled_idx, tiled_stats, tiled_assign, seeds))
+            (tiled_nich, tiled_idx, tiled_stats, tiled_assign, seeds, keys))
         return state, new_tiled.reshape(R)
 
     return run(state, assignments, key)

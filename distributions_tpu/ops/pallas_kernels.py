@@ -299,7 +299,10 @@ def _fused_v2_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
         lc = coeff_ref[r + 1, :][None, :]
         r += 2
         scores = scores + base
-        # product over columns in chunks of 4 to bound the factor magnitude
+        # product over columns in chunks of 4 to bound the factor magnitude.
+        # NB the factor stays in (v - mean)^2 form — the Horner expansion
+        # a*v^2 + b*v + c is cheaper by 2 ops but cancels catastrophically
+        # when |mean| >> |v - mean| (unstandardized data).
         for j0 in range(0, ncols, 4):
             prod = None
             for j in range(j0, min(j0 + 4, ncols)):
@@ -320,18 +323,21 @@ def _fused_v2_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
         total = scores + _gumbel_from_bits(bits)
         idx = jnp.argmax(total, axis=1).astype(jnp.int32)
     else:
-        # inverse CDF over 128-lane chunks
+        # inverse CDF over 128-lane chunks.  The prefix matmul runs in
+        # bf16 (f32 dots are multi-pass on the MXU — measured ~8x slower):
+        # tri is 0/1 (bf16-exact) and p in [0,1] rounds to ~2^-9 relative,
+        # a statistically negligible perturbation of the sampling CDF.
         m = jnp.max(scores, axis=1, keepdims=True)
         p = jnp.exp(scores - m)                                  # [BR, C]
         tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
                <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
-               ).astype(jnp.float32)                    # inclusive prefix
+               ).astype(jnp.bfloat16)                   # inclusive prefix
         nch = C // 128
         wps = []
         carry = jnp.zeros((BR, 1), jnp.float32)
         carries = []
         for j in range(nch):
-            chunk = p[:, j * 128:(j + 1) * 128]
+            chunk = p[:, j * 128:(j + 1) * 128].astype(jnp.bfloat16)
             wp = jnp.dot(chunk, tri,
                          preferred_element_type=jnp.float32)  # [BR, 128]
             wps.append(wp)
@@ -345,21 +351,32 @@ def _fused_v2_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
         t = jnp.maximum(u, 1e-7) * total                         # [BR, 1]
         idx = jnp.zeros((BR, 1), jnp.int32)
         for j in range(nch):
-            gp = wps[j] + carries[j]                             # [BR, 128]
-            idx = idx + jnp.sum((gp < t).astype(jnp.int32), axis=1,
+            tj = t - carries[j]                                  # [BR, 1]
+            idx = idx + jnp.sum((wps[j] < tj).astype(jnp.int32), axis=1,
                                 keepdims=True)
         idx = idx[:, 0]
 
     out_ref[:, 0] = idx
 
-    # suff-stat contraction: onehot^T [C, BR] @ [ones | v | v^2] [BR, 3*cols]
+    # suff-stat contraction: onehot^T [C, BR] @ [ones | v | v^2] [BR, 3*cols].
+    # One bf16 MXU pass: the one-hot is 0/1 (bf16-exact) and each f32 stat
+    # column is split into hi/mid/lo bf16 pieces (3x8-bit mantissa) packed
+    # along the lane axis, so the f32 value is reconstructed exactly from
+    # the three partial products — f32-grade sums at bf16 matmul cost.
     vals = values_ref[:, :]                                      # [BR, cols]
     stats = jnp.concatenate(
         [jnp.ones_like(vals), vals, vals * vals], axis=1)        # [BR, 3cols]
+    hi = stats.astype(jnp.bfloat16)
+    r1 = stats - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    packed = jnp.concatenate([hi, mid, lo], axis=1)              # [BR, 9cols]
     onehot_t = (jax.lax.broadcasted_iota(jnp.int32, (C, BR), 0)
-                == idx[None, :]).astype(jnp.float32)             # [C, BR]
-    part = jnp.dot(onehot_t, stats,
-                   preferred_element_type=jnp.float32)           # [C, 3cols]
+                == idx[None, :]).astype(jnp.bfloat16)            # [C, BR]
+    part3 = jnp.dot(onehot_t, packed,
+                    preferred_element_type=jnp.float32)          # [C, 9cols]
+    S = stats.shape[1]
+    part = part3[:, :S] + part3[:, S:2 * S] + part3[:, 2 * S:]   # [C, 3cols]
 
     @pl.when(i == 0)
     def _():

@@ -264,3 +264,38 @@ def test_heterogeneous_blocks():
                  for k in np.unique(a)) / R
     assert purity > 0.9, purity
     assert np.isfinite(float(mx.score_data(spec, PY, shareds, state)))
+
+
+def test_xla_table_sweep_matches_blocked():
+    """sweep_blocked_pallas_mixed(backend='xla') scores discrete blocks via
+    per-tile [V, C] tables + one-hot matmuls; a one-hot matmul is an exact
+    gather, so the draws must equal sweep_blocked's bitwise."""
+    rng = np.random.RandomState(0)
+    R, cap = 512, 64
+    spec = mx.make_spec([(nich, 1), (gp, 2), (bb, 1)], capacity=cap,
+                        empties=1)
+    shareds = (
+        nich.shared_from_dict({'mu': 0., 'kappa': .1, 'sigmasq': 1.,
+                               'nu': 1.}),
+        gp.shared_from_dict({'alpha': 1.0, 'inv_beta': 0.5}),
+        bb.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+    )
+    labels = rng.randint(0, 3, R)
+    values = (
+        jnp.asarray(np.array([[-2.], [0.], [2.]])[labels]
+                    + 0.4 * rng.randn(R, 1), jnp.float32),
+        jnp.asarray(np.stack([rng.poisson(np.where(labels == 0, 2., 9.)),
+                              rng.poisson(3 + 2 * labels)], axis=1)),
+        jnp.asarray((rng.rand(R) < 0.3)[:, None]),
+    )
+    assignments = jnp.asarray(labels, jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    key = jax.random.PRNGKey(0)
+    st_t, an_t = gibbs.sweep_blocked_pallas_mixed(
+        spec, PY, shareds, state, values, assignments, 128, key,
+        backend='xla')
+    st_x, an_x = gibbs.sweep_blocked(
+        spec, PY, shareds, state, values, assignments, 128, key=key)
+    np.testing.assert_array_equal(np.asarray(an_t), np.asarray(an_x))
+    np.testing.assert_array_equal(np.asarray(st_t.counts),
+                                  np.asarray(st_x.counts))
