@@ -61,19 +61,28 @@ def main():
                   and jax.devices()[0].platform != 'cpu')
     kernel = os.environ.get('BENCH_KERNEL', 'v2')  # v2 | v1 | xla
     kernel_rows = int(os.environ.get('BENCH_KERNEL_ROWS', 512))
+    fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS', '10'))
     if use_pallas and kernel == 'v2':
         # v2: in-kernel stats + inverse-CDF sampling; remove-side sums are
         # cache-carried between sweeps (the [1] element of the carry).
+        # BENCH_FUSE_SWEEPS>1 runs that many sweeps per device program
+        # (lax.scan) so per-launch dispatch overhead amortizes.
         sampling = os.environ.get('BENCH_SAMPLING', 'cdf')
         cache0 = gibbs.build_stat_cache(
             spec, shareds, values, BLOCK, assignments)
 
-        def one_sweep(carry, key):
-            state, assignments, cache = carry
-            state, assignments, cache = gibbs.sweep_blocked_pallas_fused(
-                spec, cl, shareds, state, values, assignments, BLOCK,
-                kernel_rows, key, cache, sampling)
-            return state, assignments, cache
+        if fuse_sweeps > 1:
+            def one_sweep(carry, key):
+                state, assignments, cache = carry
+                return gibbs.run_sweeps_pallas_fused(
+                    spec, cl, shareds, state, values, assignments, BLOCK,
+                    kernel_rows, key, cache, fuse_sweeps, sampling)
+        else:
+            def one_sweep(carry, key):
+                state, assignments, cache = carry
+                return gibbs.sweep_blocked_pallas_fused(
+                    spec, cl, shareds, state, values, assignments, BLOCK,
+                    kernel_rows, key, cache, sampling)
 
         carry0 = (state, assignments, cache0)
     elif use_pallas and kernel == 'v1':
@@ -109,14 +118,17 @@ def main():
     carry = one_sweep(carry0, key)
     np.asarray(carry[1])
 
-    # timed sweeps
+    # timed sweeps (SWEEPS = total sweep count; with fused sweeps each
+    # one_sweep call covers fuse_sweeps of them)
+    per_call = fuse_sweeps if (use_pallas and kernel == 'v2') else 1
+    calls = max(1, SWEEPS // per_call)
     t0 = time.time()
     carry = carry0
-    for i in range(SWEEPS):
+    for i in range(calls):
         key, sub = jax.random.split(key)
         carry = one_sweep(carry, sub)
     np.asarray(carry[1])
-    elapsed = (time.time() - t0) / SWEEPS
+    elapsed = (time.time() - t0) / (calls * per_call)
 
     cells = float(R) * C * FEATURES
     cells_per_sec = cells / elapsed

@@ -495,6 +495,29 @@ def sweep_blocked_pallas_fused(spec, cl_model, shareds, state, values,
     return state, new_tiled.reshape(R), (out_cd, out_sums)
 
 
+@partial(jax.jit, static_argnums=(0, 6, 7, 10, 11))
+def run_sweeps_pallas_fused(spec, cl_model, shareds, state, values,
+                            assignments, block, block_rows, key, cache,
+                            n_sweeps, sampling='cdf'):
+    """n_sweeps v2 fused sweeps inside ONE device program (lax.scan over
+    sweeps).  One launch instead of n: per-launch dispatch overhead is
+    ~100ms through the tunneled dev backend while a full 1Mx1024 sweep is
+    ~23ms on-device, so batching sweeps is what lets wall-clock throughput
+    approach device throughput (profiled; see BENCH.md)."""
+    keys = jax.random.split(key, n_sweeps)
+
+    def body(carry, k):
+        st, an, ca = carry
+        st, an, ca = sweep_blocked_pallas_fused(
+            spec, cl_model, shareds, st, values, an, block, block_rows,
+            k, ca, sampling)
+        return (st, an, ca), None
+
+    (state, assignments, cache), _ = lax.scan(
+        body, (state, assignments, cache), keys)
+    return state, assignments, cache
+
+
 def sweep_blocked_chains(spec, cl_model, shareds, states, values,
                          assignments, block, keys):
     """Chain parallelism: run one blocked sweep on N independent chains at
