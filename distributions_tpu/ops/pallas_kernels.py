@@ -171,10 +171,17 @@ def _mixed_kernel(seed_ref, nich_values_ref, idx_ref, cl_ref, coeff_ref,
         t = v - mean
         scores = scores + score + log_coeff * jnp.log1p(prec * t * t)
 
+    # bf16 MXU contraction: f32 dots are multi-pass on the MXU (measured
+    # ~8x slower — this WAS the mixed kernel's original bottleneck).  The
+    # one-hot is 0/1 (bf16-exact); each f32 table is pre-split outside the
+    # kernel into hi+mid bf16 halves stacked along the V axis, so the f32
+    # score is reconstructed to ~1.5e-5 rel from one [BR, 2V] x [2V, C]
+    # bf16 pass with f32 accumulation.
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (BR, V), 1)
     for j in range(table_cols):
-        onehot = (idx_ref[:, j][:, None] == iota_v).astype(jnp.float32)
-        scores = scores + jnp.dot(onehot, tables_ref[j],
+        onehot = (idx_ref[:, j][:, None] == iota_v).astype(jnp.bfloat16)
+        onehot2 = jnp.concatenate([onehot, onehot], axis=1)    # [BR, 2V]
+        scores = scores + jnp.dot(onehot2, tables_ref[j],
                                   preferred_element_type=jnp.float32)
 
     bits = pltpu.prng_random_bits(scores.shape)
@@ -191,6 +198,7 @@ def mixed_score_sample(seed, nich_values, table_indices, cl_scores, coeffs,
                   zeros with coeffs zeros of shape [4, C] and nich_cols=0)
     table_indices: [B, table_cols] int32 indices into each column's support
     cl_scores: [C]; coeffs: [4*nich_cols(+), C]; tables: [table_cols, V, C]
+    f32 (split into stacked hi+mid bf16 halves here, outside the kernel).
     """
     B = table_indices.shape[0] if table_indices.size else \
         nich_values.shape[0]
@@ -206,6 +214,13 @@ def mixed_score_sample(seed, nich_values, table_indices, cl_scores, coeffs,
     if table_cols == 0:
         tables = jnp.zeros((1, V, C), jnp.float32)
 
+    # split each f32 table into hi+mid bf16 halves stacked along V (see
+    # kernel comment): same VMEM bytes as the f32 table, one single-pass
+    # bf16 MXU contraction instead of a multi-pass f32 one.
+    hi = tables.astype(jnp.bfloat16)
+    mid = (tables - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    tables = jnp.concatenate([hi, mid], axis=1)          # [tc, 2V, C] bf16
+
     out = pl.pallas_call(
         functools.partial(_mixed_kernel, nich_cols=nich_cols,
                           table_cols=table_cols, V=V),
@@ -220,7 +235,7 @@ def mixed_score_sample(seed, nich_values, table_indices, cl_scores, coeffs,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((coeffs.shape[0], C), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(table_cols, 1), V, C),
+            pl.BlockSpec((max(table_cols, 1), 2 * V, C),
                          lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
