@@ -30,7 +30,7 @@ def main():
     C = int(os.environ.get('BENCH_COMPONENTS', 1024))
     BLOCK = int(os.environ.get('BENCH_BLOCK', 16384))
     FEATURES = 2
-    SWEEPS = int(os.environ.get('BENCH_SWEEPS', 10))
+    SWEEPS = int(os.environ.get('BENCH_SWEEPS', 30))
 
     import jax
     if os.environ.get('BENCH_FORCE_CPU') == '1':
@@ -117,26 +117,35 @@ def main():
     def sync(carry):
         np.asarray(carry[0].counts)
 
+    # keys are pre-split and materialized outside all timed regions; every
+    # call (warmup included) gets a DISTINCT key — repeating identical
+    # (program, args) calls measured ~5x slower on the first subsequent
+    # distinct-args call through the tunneled backend (dedup/caching
+    # artifact), which inflated the round-1 recorded numbers.
+    per_call = fuse_sweeps if (use_pallas and kernel == 'v2') else 1
+    calls = max(1, SWEEPS // per_call)
+    allkeys = jax.random.split(key, calls + 3)
+    np.asarray(jax.random.key_data(allkeys))
+    subkeys, warmkeys = allkeys[:calls], allkeys[calls:]
+
     t0 = time.time()
-    carry = one_sweep(carry0, key)
+    carry = one_sweep(carry0, warmkeys[0])
     sync(carry)
     compile_time = time.time() - t0
 
-    # second warmup pass to flush any remaining queue
-    carry = one_sweep(carry0, key)
-    sync(carry)
-
-    # timed sweeps (SWEEPS = total sweep count; with fused sweeps each
-    # one_sweep call covers fuse_sweeps of them).  Keys are pre-split and
-    # materialized outside the timed region.
-    per_call = fuse_sweeps if (use_pallas and kernel == 'v2') else 1
-    calls = max(1, SWEEPS // per_call)
-    subkeys = jax.random.split(key, calls)
-    np.asarray(jax.random.key_data(subkeys))
+    # two more warmup passes (distinct keys) to reach steady state
+    for wk in warmkeys[1:]:
+        carry = one_sweep(carry0, wk)
+        sync(carry)
+    debug = os.environ.get('BENCH_DEBUG') == '1'
     t0 = time.time()
     carry = carry0
     for i in range(calls):
         carry = one_sweep(carry, subkeys[i])
+        if debug:
+            sync(carry)
+            print('# call %d: %.1f ms cumulative' %
+                  (i, (time.time() - t0) * 1e3), file=sys.stderr)
     sync(carry)
     elapsed = (time.time() - t0) / (calls * per_call)
 

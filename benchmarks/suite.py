@@ -62,12 +62,25 @@ def bench_mixture():
                 lambda: rng.poisson(3.0, (R, 1))),
         'nich': (nich, {'mu': 0., 'kappa': 1., 'sigmasq': 1., 'nu': 1.},
                  lambda: rng.randn(R, 1).astype(np.float32)),
+        'dpd': (dpd, {'gamma': 1.0, 'alpha': 1.0,
+                      'betas': {i: 1.0 / 8 for i in range(8)}},
+                lambda: rng.randint(0, 8, (R, 1))),
     }
+
+    # BENCH_SWEEP=fused uses the v3 fused pallas sweep (product-form nich
+    # scoring / MXU score tables / in-kernel stats, sampling
+    # BENCH_SAMPLING default cdf_fast); xla (default) uses the generic
+    # blocked path.
+    mode = os.environ.get('BENCH_SWEEP', 'xla')
+    sampling = os.environ.get('BENCH_SAMPLING', 'cdf_fast')
+    only = os.environ.get('BENCH_MODELS')
 
     Ks = [int(k) for k in os.environ.get(
         'BENCH_K', '64,512,1024').split(',')]
     for K in Ks:
         for name, (module, shared_raw, gen) in cases.items():
+            if only and name not in only.split(','):
+                continue
             spec = mx.make_spec([(module, 1)], capacity=K, empties=1)
             shareds = (module.shared_from_dict(shared_raw),)
             X = jnp.asarray(gen())
@@ -76,14 +89,27 @@ def bench_mixture():
                 spec, cl, shareds, (X,), assignments)
             key = jax.random.PRNGKey(0)
 
-            def sweep(st, an):
-                return gibbs.sweep_blocked(
-                    spec, cl, shareds, st, (X,), an, BLOCK, key=key)
+            if mode == 'fused':
+                cache = gibbs.build_stat_cache(
+                    spec, shareds, (X,), BLOCK, assignments)
 
-            dt = timeit(lambda: sweep(state, assignments), iters=5)
+                def sweep(st, an):
+                    return gibbs.sweep_blocked_pallas_fused_mixed(
+                        spec, cl, shareds, st, (X,), an, BLOCK, 512, key,
+                        cache, sampling=sampling, n_sweeps=5)
+
+                dt = timeit(lambda: sweep(state, assignments),
+                            iters=2) / 5
+            else:
+                def sweep(st, an):
+                    return gibbs.sweep_blocked(
+                        spec, cl, shareds, st, (X,), an, BLOCK, key=key)
+
+                dt = timeit(lambda: sweep(state, assignments), iters=5)
             cells = R * K
             print(json.dumps({
                 'metric': 'mixture_cells_per_sec', 'model': name, 'K': K,
+                'mode': mode,
                 'value': round(cells / dt, 1), 'unit': 'cells/s'}))
 
 

@@ -495,6 +495,190 @@ def sweep_blocked_pallas_fused(spec, cl_model, shareds, state, values,
     return state, new_tiled.reshape(R), (out_cd, out_sums)
 
 
+def _mixed_static_layout(spec, values, supports):
+    """Host-side static layout for the v3 mixed fused sweep: nich/table
+    block split, per-block sorted supports, lane-padded V, support-index
+    columns, and per-block [V, S] stat matrices W (count_table @ W = raw
+    tile sums, since every discrete model's tile stats are linear in the
+    per-value counts)."""
+    import numpy as np
+    from distributions_tpu.models import nich as nich_mod
+
+    if supports is None:
+        supports = _block_supports(spec, values)
+    nich_blocks = [i for i, b in enumerate(spec.blocks)
+                   if b.module is nich_mod]
+    table_blocks = [i for i, b in enumerate(spec.blocks)
+                    if b.module is not nich_mod]
+    V_raw = max([len(supports[i]) for i in table_blocks], default=1)
+    V = ((V_raw + 127) // 128) * 128
+
+    R = jnp.asarray(values[0]).shape[0]
+    nich_vals = (jnp.concatenate(
+        [jnp.asarray(values[i], jnp.float32) for i in nich_blocks], axis=1)
+        if nich_blocks else jnp.zeros((R, 1), jnp.float32))
+    if table_blocks:
+        idx_cols = []
+        for i in table_blocks:
+            v = np.asarray(values[i])
+            idx_cols.append(np.searchsorted(supports[i], v).astype(np.int32))
+        table_idx = jnp.asarray(np.concatenate(idx_cols, axis=1))
+    else:
+        table_idx = jnp.zeros((R, 0), jnp.int32)
+    supports_dev = tuple(
+        jnp.asarray(supports[i]) if supports[i] is not None else None
+        for i in range(len(spec.blocks)))
+    return (tuple(nich_blocks), tuple(table_blocks), V, nich_vals,
+            table_idx, supports_dev)
+
+
+def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
+                                     assignments, block, block_rows, key,
+                                     cache, sampling='cdf', supports=None,
+                                     n_sweeps=1):
+    """v3 fused sweep for ANY mix of nich + bounded-support discrete blocks
+    (bb/dd/dpd/gp/bnb): one Mosaic kernel per tile fuses product-form nich
+    scoring, MXU table scoring for discrete columns, CDF/gumbel sampling
+    (optionally with polynomial fast log/exp via a '_fast' sampling
+    suffix), and the full suff-stat contraction — nich [1,v,v^2] sums plus
+    per-column [C, V] count tables, converted to per-model raw tile sums
+    by a [C,V]x[V,S] matmul outside the kernel.
+
+    cache = build_stat_cache(...) on the current assignments (the generic
+    raw-sums format).  n_sweeps > 1 scans whole sweeps inside one device
+    program.  Returns (state, assignments, new_cache)."""
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as _cl
+
+    R = assignments.shape[0]
+    assert R % block == 0
+    n_blocks = R // block
+    C = spec.capacity
+    (nich_blocks, table_blocks, V, nich_vals, table_idx,
+     supports_dev) = _mixed_static_layout(spec, values, supports)
+    ncols = nich_vals.shape[1]
+    col_groups = (tuple(spec.blocks[i].cols for i in nich_blocks)
+                  if nich_blocks else (1,))
+
+    # per-block [V, S] stat matrices (f32, rows beyond the support zero)
+    W = []
+    for i, b in enumerate(spec.blocks):
+        if i in table_blocks:
+            w = b.module.row_stat_columns(shareds[i], supports_dev[i])
+            W.append(jnp.pad(w, ((0, V - w.shape[0]), (0, 0))))
+        else:
+            W.append(None)
+    W = tuple(W)
+
+    return _fused_mixed_run(
+        spec, nich_blocks, table_blocks, V, block, block_rows, sampling,
+        n_sweeps, cl_model, shareds, state, assignments, key, cache,
+        nich_vals, table_idx, supports_dev, W)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+def _fused_mixed_run(spec, nich_blocks, table_blocks, V, block, block_rows,
+                     sampling, n_sweeps, cl_model, shareds, state,
+                     assignments, key, cache, nich_vals, table_idx,
+                     supports_dev, W):
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as _cl
+
+    R = assignments.shape[0]
+    n_blocks = R // block
+    C = spec.capacity
+    ncols = nich_vals.shape[1]
+    col_groups = (tuple(spec.blocks[i].cols for i in nich_blocks)
+                  if nich_blocks else (1,))
+    tiled_nich = nich_vals.reshape(n_blocks, block, -1)
+    tiled_idx = table_idx.reshape(n_blocks, block, -1)
+
+    def one_sweep(carry, sweep_key):
+        state, cache = carry
+        cached_cd, cached_sums = cache
+        keys = jax.random.split(sweep_key, n_blocks)
+        seeds = jax.vmap(
+            lambda k: jax.random.key_data(k)[-1].astype(jnp.int32))(keys)
+
+        def step(state, inp):
+            t_nich, t_idx, cd, sums, seed = inp
+            tiles = mx.sums_to_tiles(spec, shareds, sums)
+            state = mx.apply_stat_tiles(
+                spec, shareds, state, cd, tiles, -1, block)
+
+            cl_scores = _cl.score_value(
+                cl_model, state.counts, state.alive, state.sample_size)
+            if nich_blocks:
+                coeffs = jnp.concatenate(
+                    [pk.nich_coeffs_v2(shareds[i], state.groups[i])
+                     for i in nich_blocks], axis=0)
+            else:
+                coeffs = jnp.zeros((4, C), jnp.float32)
+
+            table_list = []
+            for i in table_blocks:
+                blk = spec.blocks[i]
+                sup = supports_dev[i]
+                per_col = jax.vmap(
+                    lambda g: blk.module.score_value_batch(
+                        shareds[i], g, sup),
+                    in_axes=1, out_axes=0)(state.groups[i])  # [c, Vr, C]
+                pad = V - per_col.shape[1]
+                if pad:
+                    per_col = jnp.pad(per_col,
+                                      ((0, 0), (0, pad), (0, 0)))
+                table_list.append(per_col)
+            tables = (jnp.concatenate(table_list, axis=0) if table_list
+                      else jnp.zeros((0, V, C), jnp.float32))
+
+            new_assign, nich_sums, tcounts = \
+                pk.fused_mixed_score_sample_stats(
+                    seed, t_nich, t_idx, cl_scores, coeffs, tables,
+                    col_groups, block_rows=block_rows,
+                    sampling=sampling)
+
+            # counts delta from the ones-columns of the nich stats
+            # (the dummy zeros column provides it for nich-free specs)
+            new_cd = jnp.round(nich_sums[:, 0]).astype(jnp.int32)
+            # per-block raw sums in build_stat_cache's generic format
+            new_sums = []
+            nc0 = 0
+            tcol = 0
+            for bi, b in enumerate(spec.blocks):
+                if bi in nich_blocks:
+                    sl = slice(nc0, nc0 + b.cols)
+                    ones = nich_sums[:, sl]
+                    vs = nich_sums[:, ncols + nc0:ncols + nc0 + b.cols]
+                    vv = nich_sums[:, 2 * ncols + nc0:
+                                   2 * ncols + nc0 + b.cols]
+                    new_sums.append(
+                        jnp.stack([ones, vs, vv], axis=-1))
+                    nc0 += b.cols
+                else:
+                    cols_s = []
+                    for c in range(b.cols):
+                        cols_s.append(jnp.matmul(
+                            tcounts[tcol], W[bi],
+                            preferred_element_type=jnp.float32))
+                        tcol += 1
+                    new_sums.append(jnp.stack(cols_s, axis=1))
+            new_sums = tuple(new_sums)
+
+            tiles = mx.sums_to_tiles(spec, shareds, new_sums)
+            state = mx.apply_stat_tiles(
+                spec, shareds, state, new_cd, tiles, +1, block)
+            return state, (new_assign, new_cd, new_sums)
+
+        state, (new_tiled, out_cd, out_sums) = lax.scan(
+            step, state,
+            (tiled_nich, tiled_idx, cached_cd, cached_sums, seeds))
+        return (state, (out_cd, out_sums)), new_tiled
+
+    (state, cache), tiled = lax.scan(
+        one_sweep, (state, cache), jax.random.split(key, n_sweeps))
+    return state, tiled[-1].reshape(R), cache
+
+
 @partial(jax.jit, static_argnums=(0, 6, 7, 10, 11))
 def run_sweeps_pallas_fused(spec, cl_model, shareds, state, values,
                             assignments, block, block_rows, key, cache,

@@ -1,0 +1,120 @@
+"""CPU (interpret-mode) correctness tests for the v3 mixed fused sweep
+(ops/gibbs.sweep_blocked_pallas_fused_mixed): product-form nich scoring +
+MXU table scoring + in-kernel count-table stats must reproduce the XLA
+blocked path's deterministic argmax sweep and its stat sums.
+
+Sampling paths (TPU-core PRNG) are hardware-gated in test_tpu_pallas.py;
+here the deterministic 'argmax' variant pins scoring + stats end to end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distributions_tpu import clustering, mixture as mx
+from distributions_tpu.models import nich, gp as gp_mod, bb as bb_mod
+from distributions_tpu.models import dd as dd_mod
+from distributions_tpu.ops import gibbs
+
+PY = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+
+
+def _mixed_problem(R=512, C=128, seed=0):
+    rng = np.random.RandomState(seed)
+    spec = mx.make_spec([(nich, 1), (gp_mod, 1), (bb_mod, 1)],
+                        capacity=C, empties=1)
+    shareds = (
+        nich.shared_from_dict(
+            {'mu': 0., 'kappa': .1, 'sigmasq': 1., 'nu': 1.}),
+        gp_mod.shared_from_dict({'alpha': 1.0, 'inv_beta': 0.5}),
+        bb_mod.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+    )
+    labels = rng.randint(0, 3, R)
+    values = (
+        jnp.asarray(np.array([[-2.], [0.], [2.]])[labels]
+                    + 0.4 * rng.randn(R, 1), jnp.float32),
+        jnp.asarray(rng.poisson(np.where(labels == 0, 2., 9.))[:, None]),
+        jnp.asarray((rng.rand(R) < 0.3)[:, None]),
+    )
+    assignments = jnp.asarray(labels, jnp.int32)
+    return spec, shareds, values, assignments
+
+
+def _xla_argmax_sweep(spec, shareds, state, values, assignments):
+    """Reference: remove tile, score via XLA, argmax, add tile."""
+    st = mx.remove_tile(spec, PY, shareds, state, values, assignments)
+    scores = mx.score_batch(spec, PY, shareds, st, values)
+    an = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    st = mx.add_tile(spec, PY, shareds, st, values, an)
+    return st, an
+
+
+@pytest.mark.parametrize('sampling', ['argmax', 'argmax_fast'])
+def test_mixed_fused_argmax_matches_xla(sampling):
+    spec, shareds, values, assignments = _mixed_problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    R = assignments.shape[0]
+    cache = gibbs.build_stat_cache(spec, shareds, values, R, assignments)
+
+    st3, an3, cache3 = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, R, 128,
+        jax.random.PRNGKey(0), cache, sampling=sampling)
+    st_ref, an_ref = _xla_argmax_sweep(spec, shareds, state, values,
+                                       assignments)
+
+    np.testing.assert_array_equal(np.asarray(an3), np.asarray(an_ref))
+    np.testing.assert_array_equal(np.asarray(st3.counts),
+                                  np.asarray(st_ref.counts))
+    # emitted cache == fresh cache on the new assignments
+    fresh = gibbs.build_stat_cache(spec, shareds, values, R, an3)
+    np.testing.assert_array_equal(np.asarray(cache3[0]),
+                                  np.asarray(fresh[0]))
+    for got, want in zip(cache3[1], fresh[1]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_mixed_fused_pure_discrete():
+    """Spec with NO nich blocks (dummy zeros column path)."""
+    rng = np.random.RandomState(1)
+    R, C = 256, 128
+    spec = mx.make_spec([(dd_mod, 1), (bb_mod, 1)], capacity=C, empties=1)
+    shareds = (
+        dd_mod.shared_from_dict({'alphas': [1.0, 0.5, 2.0, 1.5]}),
+        bb_mod.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+    )
+    labels = rng.randint(0, 3, R)
+    values = (
+        jnp.asarray(np.where(labels == 0, rng.randint(0, 2, R),
+                             rng.randint(2, 4, R))[:, None], jnp.int32),
+        jnp.asarray((rng.rand(R) < 0.5)[:, None]),
+    )
+    assignments = jnp.asarray(labels, jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cache = gibbs.build_stat_cache(spec, shareds, values, R, assignments)
+
+    st3, an3, cache3 = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, R, 128,
+        jax.random.PRNGKey(0), cache, sampling='argmax')
+    st_ref, an_ref = _xla_argmax_sweep(spec, shareds, state, values,
+                                       assignments)
+    np.testing.assert_array_equal(np.asarray(an3), np.asarray(an_ref))
+    np.testing.assert_array_equal(np.asarray(st3.counts),
+                                  np.asarray(st_ref.counts))
+
+
+def test_mixed_fused_multi_sweep_and_tiles():
+    """Multiple tiles per sweep + n_sweeps>1 fused in one program."""
+    spec, shareds, values, assignments = _mixed_problem(R=512)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cache = gibbs.build_stat_cache(spec, shareds, values, 256, assignments)
+
+    st, an, cache2 = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, 256, 128,
+        jax.random.PRNGKey(0), cache, sampling='argmax', n_sweeps=3)
+    assert int(np.asarray(st.counts).sum()) == 512
+    fresh = gibbs.build_stat_cache(spec, shareds, values, 256, an)
+    np.testing.assert_array_equal(np.asarray(cache2[0]),
+                                  np.asarray(fresh[0]))

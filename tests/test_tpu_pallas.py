@@ -132,6 +132,38 @@ def test_fused_v2_kernel_distribution_and_stats():
 
 
 @requires_tpu
+def test_fused_v2_kernel_fastmath():
+    """cdf_fast (polynomial in-kernel log/exp) must match the exact-math
+    XLA softmax expectation distributionally and emit identical stat sums
+    for the drawn assignments."""
+    spec, shareds, values, assignments, _ = _problem()
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cl_scores = clustering.score_value(
+        PY, state.counts, state.alive, state.sample_size)
+    coeffs = pk.nich_coeffs_v2(shareds[0], state.groups[0])
+    out, sums = pk.fused_score_sample_stats(
+        7, jnp.concatenate(values, axis=1), cl_scores, coeffs, (2,),
+        block_rows=256, sampling='cdf_fast')
+    out = np.asarray(out)
+
+    cd2, raw2 = pk.split_stat_sums(spec, sums)
+    cd, raw = mx.tile_sums_fast(
+        spec, shareds, mx.precompute_row_stats(spec, shareds, values),
+        jnp.asarray(out))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(cd2))
+
+    from scipy.special import softmax
+    ref = np.asarray(mx.score_batch(spec, PY, shareds, state, values))
+    p = softmax(ref, axis=1)
+    counts = np.bincount(out, minlength=spec.capacity).astype(float)
+    exp = p.sum(0)
+    var = np.maximum((p * (1 - p)).sum(0), 1e-9)
+    z = (counts - exp) / np.sqrt(var)
+    big = exp > 20
+    assert np.abs(z[big]).max() < 5.0, z[big]
+
+
+@requires_tpu
 def test_fused_v2_sweep():
     """Cache-carried v2 sweep reaches the same fit as the XLA blocked sweep
     and its emitted cache equals a fresh cache on the new assignments."""
@@ -153,6 +185,53 @@ def test_fused_v2_sweep():
     sf = float(mx.score_data(spec, PY, shareds, st_f))
     sx = float(mx.score_data(spec, PY, shareds, st_x))
     assert abs(sf - sx) / abs(sx) < 0.05, (sf, sx)
+
+
+@requires_tpu
+def test_fused_mixed_v3_statistics():
+    """v3 fused mixed sweep (in-kernel tables + count-table stats + CDF
+    sampling with fast transcendentals): slot counts must match XLA-path
+    softmax expectations on the tile-frozen state."""
+    rng = np.random.RandomState(0)
+    R, C = 4096, 128
+    spec = mx.make_spec([(nich, 1), (gp_mod, 1), (bb_mod, 1)],
+                        capacity=C, empties=1)
+    shareds = (
+        nich.shared_from_dict({'mu': 0., 'kappa': .1, 'sigmasq': 1., 'nu': 1.}),
+        gp_mod.shared_from_dict({'alpha': 1.0, 'inv_beta': 0.5}),
+        bb_mod.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+    )
+    labels = rng.randint(0, 3, R)
+    values = (
+        jnp.asarray(np.array([[-2.], [0.], [2.]])[labels]
+                    + 0.4 * rng.randn(R, 1), jnp.float32),
+        jnp.asarray(rng.poisson(np.where(labels == 0, 2., 9.))[:, None]),
+        jnp.asarray((rng.rand(R) < 0.3)[:, None]),
+    )
+    assignments = jnp.asarray(labels, jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cache = gibbs.build_stat_cache(spec, shareds, values, R, assignments)
+    st, an, cache2 = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, R, 256,
+        jax.random.PRNGKey(0), cache, sampling='cdf_fast')
+    an = np.asarray(an)
+    counts = np.asarray(st.counts)
+    assert counts.sum() == R
+    assert np.bincount(an, minlength=C).tolist() == counts.tolist()
+    # emitted cache equals a fresh cache on the new assignments
+    fresh = gibbs.build_stat_cache(spec, shareds, values, R, an)
+    np.testing.assert_array_equal(np.asarray(cache2[0]),
+                                  np.asarray(fresh[0]))
+    st_rm = mx.remove_tile(spec, PY, shareds, state, values, assignments)
+    from scipy.special import softmax
+    ref = np.asarray(mx.score_batch(spec, PY, shareds, st_rm, values))
+    p = softmax(ref, axis=1)
+    cnt = np.bincount(an, minlength=C).astype(float)
+    exp = p.sum(0)
+    var = np.maximum((p * (1 - p)).sum(0), 1e-9)
+    z = (cnt - exp) / np.sqrt(var)
+    big = exp > 20
+    assert np.abs(z[big]).max() < 5.0, z[big]
 
 
 @requires_tpu
