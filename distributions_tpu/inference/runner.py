@@ -18,7 +18,7 @@ from distributions_tpu.ops import gibbs
 def run_gibbs(spec, cl_model, shareds, values, key, passes,
               block=4096, checkpoint_path=None, checkpoint_every=10,
               resume=True, init='prior', use_pallas=False,
-              grow_headroom=0.125, log=None, mesh=None):
+              grow_headroom=0.125, log=None, mesh=None, sampling='cdf'):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
 
     - resumes from `checkpoint_path` when it exists (bitwise-continuing the
@@ -50,9 +50,18 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             state, assignments = gibbs.sequential_init(
                 spec, cl_model, shareds, state, values, sub)
 
+    # the v3 fused sweep covers any mix of nich + bounded-discrete blocks;
+    # its remove-side stat cache persists across sweeps and is rebuilt when
+    # capacity grows (cache shapes are [T, C, ...])
+    from distributions_tpu.ops import pallas_kernels as pk
+    cache = None
+
     for sweep in range(start_pass, passes):
+        fused_ok = (use_pallas and pk.supports_mixed_pallas(spec)
+                    and spec.capacity % 128 == 0 and block % 512 == 0)
         if mx.needs_growth(spec, state, grow_headroom):
             spec, state = mx.grow_capacity(spec, state, 2 * spec.capacity)
+            cache = None
 
         key, sub = jax.random.split(key)
         t0 = time.time()
@@ -61,6 +70,14 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             state, assignments = sharding.sharded_sweep_blocked(
                 spec, cl_model, shareds, state, values, assignments, sub,
                 mesh, block)
+        elif fused_ok:
+            if cache is None:
+                cache = gibbs.build_stat_cache(
+                    spec, shareds, values, block, assignments)
+            state, assignments, cache = \
+                gibbs.sweep_blocked_pallas_fused_mixed(
+                    spec, cl_model, shareds, state, values, assignments,
+                    block, 512, sub, cache, sampling=sampling)
         elif use_pallas:
             state, assignments = gibbs.sweep_blocked_pallas(
                 spec, cl_model, shareds, state, values, assignments, block,

@@ -576,20 +576,82 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
         nich_vals, table_idx, supports_dev, W)
 
 
+def _fused_tile_core(spec, nich_blocks, table_blocks, V, block_rows,
+                     sampling, cl_model, shareds, supports_dev, W,
+                     state, t_nich, t_idx, seed):
+    """Score + sample + stats for ONE tile against the current (already
+    tile-removed) state via the fused kernel.  Returns (new_assign [B],
+    counts_delta [C], per-block raw sums) — sums in build_stat_cache's
+    generic format, all additive (psum-able across a device axis)."""
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as _cl
+
+    C = spec.capacity
+    ncols = t_nich.shape[1]
+    col_groups = (tuple(spec.blocks[i].cols for i in nich_blocks)
+                  if nich_blocks else (1,))
+
+    cl_scores = _cl.score_value(
+        cl_model, state.counts, state.alive, state.sample_size)
+    if nich_blocks:
+        coeffs = jnp.concatenate(
+            [pk.nich_coeffs_v2(shareds[i], state.groups[i])
+             for i in nich_blocks], axis=0)
+    else:
+        coeffs = jnp.zeros((4, C), jnp.float32)
+
+    table_list = []
+    for i in table_blocks:
+        blk = spec.blocks[i]
+        sup = supports_dev[i]
+        per_col = jax.vmap(
+            lambda g: blk.module.score_value_batch(
+                shareds[i], g, sup),
+            in_axes=1, out_axes=0)(state.groups[i])  # [c, Vr, C]
+        pad = V - per_col.shape[1]
+        if pad:
+            per_col = jnp.pad(per_col, ((0, 0), (0, pad), (0, 0)))
+        table_list.append(per_col)
+    tables = (jnp.concatenate(table_list, axis=0) if table_list
+              else jnp.zeros((0, V, C), jnp.float32))
+
+    new_assign, nich_sums, tcounts = pk.fused_mixed_score_sample_stats(
+        seed, t_nich, t_idx, cl_scores, coeffs, tables,
+        col_groups, block_rows=block_rows, sampling=sampling)
+
+    # counts delta from the ones-columns of the nich stats
+    # (the dummy zeros column provides it for nich-free specs)
+    new_cd = jnp.round(nich_sums[:, 0]).astype(jnp.int32)
+    # per-block raw sums in build_stat_cache's generic format
+    new_sums = []
+    nc0 = 0
+    tcol = 0
+    for bi, b in enumerate(spec.blocks):
+        if bi in nich_blocks:
+            sl = slice(nc0, nc0 + b.cols)
+            ones = nich_sums[:, sl]
+            vs = nich_sums[:, ncols + nc0:ncols + nc0 + b.cols]
+            vv = nich_sums[:, 2 * ncols + nc0:2 * ncols + nc0 + b.cols]
+            new_sums.append(jnp.stack([ones, vs, vv], axis=-1))
+            nc0 += b.cols
+        else:
+            cols_s = []
+            for c in range(b.cols):
+                cols_s.append(jnp.matmul(
+                    tcounts[tcol], W[bi],
+                    preferred_element_type=jnp.float32))
+                tcol += 1
+            new_sums.append(jnp.stack(cols_s, axis=1))
+    return new_assign, new_cd, tuple(new_sums)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _fused_mixed_run(spec, nich_blocks, table_blocks, V, block, block_rows,
                      sampling, n_sweeps, cl_model, shareds, state,
                      assignments, key, cache, nich_vals, table_idx,
                      supports_dev, W):
-    from distributions_tpu.ops import pallas_kernels as pk
-    from distributions_tpu import clustering as _cl
-
     R = assignments.shape[0]
     n_blocks = R // block
-    C = spec.capacity
-    ncols = nich_vals.shape[1]
-    col_groups = (tuple(spec.blocks[i].cols for i in nich_blocks)
-                  if nich_blocks else (1,))
     tiled_nich = nich_vals.reshape(n_blocks, block, -1)
     tiled_idx = table_idx.reshape(n_blocks, block, -1)
 
@@ -606,63 +668,10 @@ def _fused_mixed_run(spec, nich_blocks, table_blocks, V, block, block_rows,
             state = mx.apply_stat_tiles(
                 spec, shareds, state, cd, tiles, -1, block)
 
-            cl_scores = _cl.score_value(
-                cl_model, state.counts, state.alive, state.sample_size)
-            if nich_blocks:
-                coeffs = jnp.concatenate(
-                    [pk.nich_coeffs_v2(shareds[i], state.groups[i])
-                     for i in nich_blocks], axis=0)
-            else:
-                coeffs = jnp.zeros((4, C), jnp.float32)
-
-            table_list = []
-            for i in table_blocks:
-                blk = spec.blocks[i]
-                sup = supports_dev[i]
-                per_col = jax.vmap(
-                    lambda g: blk.module.score_value_batch(
-                        shareds[i], g, sup),
-                    in_axes=1, out_axes=0)(state.groups[i])  # [c, Vr, C]
-                pad = V - per_col.shape[1]
-                if pad:
-                    per_col = jnp.pad(per_col,
-                                      ((0, 0), (0, pad), (0, 0)))
-                table_list.append(per_col)
-            tables = (jnp.concatenate(table_list, axis=0) if table_list
-                      else jnp.zeros((0, V, C), jnp.float32))
-
-            new_assign, nich_sums, tcounts = \
-                pk.fused_mixed_score_sample_stats(
-                    seed, t_nich, t_idx, cl_scores, coeffs, tables,
-                    col_groups, block_rows=block_rows,
-                    sampling=sampling)
-
-            # counts delta from the ones-columns of the nich stats
-            # (the dummy zeros column provides it for nich-free specs)
-            new_cd = jnp.round(nich_sums[:, 0]).astype(jnp.int32)
-            # per-block raw sums in build_stat_cache's generic format
-            new_sums = []
-            nc0 = 0
-            tcol = 0
-            for bi, b in enumerate(spec.blocks):
-                if bi in nich_blocks:
-                    sl = slice(nc0, nc0 + b.cols)
-                    ones = nich_sums[:, sl]
-                    vs = nich_sums[:, ncols + nc0:ncols + nc0 + b.cols]
-                    vv = nich_sums[:, 2 * ncols + nc0:
-                                   2 * ncols + nc0 + b.cols]
-                    new_sums.append(
-                        jnp.stack([ones, vs, vv], axis=-1))
-                    nc0 += b.cols
-                else:
-                    cols_s = []
-                    for c in range(b.cols):
-                        cols_s.append(jnp.matmul(
-                            tcounts[tcol], W[bi],
-                            preferred_element_type=jnp.float32))
-                        tcol += 1
-                    new_sums.append(jnp.stack(cols_s, axis=1))
-            new_sums = tuple(new_sums)
+            new_assign, new_cd, new_sums = _fused_tile_core(
+                spec, nich_blocks, table_blocks, V, block_rows, sampling,
+                cl_model, shareds, supports_dev, W, state, t_nich, t_idx,
+                seed)
 
             tiles = mx.sums_to_tiles(spec, shareds, new_sums)
             state = mx.apply_stat_tiles(

@@ -124,6 +124,101 @@ def sharded_sweep_blocked(spec, cl_model, shareds, state, values,
     return run(values, assignments, state)
 
 
+def sharded_sweep_fused(spec, cl_model, shareds, state, values,
+                        assignments, key, mesh, block, cache,
+                        block_rows=512, sampling='cdf', supports=None,
+                        n_sweeps=1):
+    """Row-sharded blocked Gibbs with the v3 fused pallas kernel per shard.
+
+    Each device runs the fused score+sample+stats kernel on its local
+    [block] tile; the kernel-emitted additive stat sums are psum'd over the
+    'rows' axis (only O(C * cols * S) floats cross ICI per tile — never
+    scores or rows).  The remove side is the cache-carried add-side sums of
+    the previous sweep, kept LOCAL per device and psum'd at use.
+
+    cache = gibbs.build_stat_cache(spec, shareds, values, block,
+    assignments) — its leading tile axis is device-major, so sharding it
+    P(ROWS) gives each device exactly its own tiles' sums.
+
+    Draw streams use the TPU-core PRNG seeded per (sweep, global tile), so
+    they are layout-independent for a fixed (block, n_devices) but differ
+    bitwise from the XLA paths (same contract as the other pallas sweeps).
+
+    Returns (state, assignments, cache).
+    """
+    from distributions_tpu.ops import gibbs as _g
+
+    n_dev = mesh.devices.size
+    R = assignments.shape[0]
+    assert R % (n_dev * block) == 0, (
+        'pad rows to a multiple of devices*block')
+    (nich_blocks, table_blocks, V, nich_vals, table_idx,
+     supports_dev) = _g._mixed_static_layout(spec, values, supports)
+
+    W = []
+    for i, b in enumerate(spec.blocks):
+        if i in table_blocks:
+            w = b.module.row_stat_columns(shareds[i], supports_dev[i])
+            W.append(jnp.pad(w, ((0, V - w.shape[0]), (0, 0))))
+        else:
+            W.append(None)
+    W = tuple(W)
+
+    cache_specs = jax.tree_util.tree_map(lambda _: P(ROWS), cache)
+    in_specs = (P(ROWS), P(ROWS), P(), cache_specs, P())
+    out_specs = (P(), P(ROWS), cache_specs)
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def run(nich_shard, idx_shard, state, cache, key):
+        local_R = nich_shard.shape[0]
+        n_tiles = local_R // block
+        shard_idx = lax.axis_index(ROWS)
+        n_removed = block * lax.psum(1, ROWS)
+
+        tiled_nich = nich_shard.reshape(n_tiles, block, -1)
+        tiled_idx = idx_shard.reshape(n_tiles, block, -1)
+        gtiles = shard_idx * n_tiles + jnp.arange(n_tiles, dtype=jnp.int32)
+
+        def one_sweep(carry, sweep_key):
+            state, cache = carry
+            cached_cd, cached_sums = cache
+            seeds = jax.vmap(lambda t: jax.random.key_data(
+                jax.random.fold_in(sweep_key, t))[-1].astype(jnp.int32))(
+                    gtiles)
+
+            def step(state, inp):
+                t_nich, t_idx, cd, sums, seed = inp
+                g_cd = lax.psum(cd, ROWS)
+                g_sums = lax.psum(sums, ROWS)
+                tiles = mx.sums_to_tiles(spec, shareds, g_sums)
+                state = mx.apply_stat_tiles(
+                    spec, shareds, state, g_cd, tiles, -1, n_removed)
+
+                new_assign, new_cd, new_sums = _g._fused_tile_core(
+                    spec, nich_blocks, table_blocks, V, block_rows,
+                    sampling, cl_model, shareds, supports_dev, W, state,
+                    t_nich, t_idx, seed)
+
+                g_cd = lax.psum(new_cd, ROWS)
+                g_sums = lax.psum(new_sums, ROWS)
+                tiles = mx.sums_to_tiles(spec, shareds, g_sums)
+                state = mx.apply_stat_tiles(
+                    spec, shareds, state, g_cd, tiles, +1, n_removed)
+                return state, (new_assign, new_cd, new_sums)
+
+            state, (new_tiled, out_cd, out_sums) = lax.scan(
+                step, state,
+                (tiled_nich, tiled_idx, cached_cd, cached_sums, seeds))
+            return (state, (out_cd, out_sums)), new_tiled
+
+        (state, cache), tiled = lax.scan(
+            one_sweep, (state, cache), jax.random.split(key, n_sweeps))
+        return state, tiled[-1].reshape(local_R), cache
+
+    return run(nich_vals, table_idx, state, cache, key)
+
+
 COMPONENTS = 'components'
 
 

@@ -19,7 +19,11 @@ from distributions_tpu.ops import gibbs
 assert jax.devices()[0].platform != 'cpu'
 
 SAMPLING = os.environ.get('SAMPLING', 'cdf_fast')
-R, C, BLOCK, BR, FUSE = 1048576, 1024, 16384, 512, 10
+R = int(os.environ.get('ROWS', 1048576))
+C = int(os.environ.get('COMPONENTS', 1024))
+BLOCK = int(os.environ.get('BLOCK', 16384))
+BR = int(os.environ.get('BR', 512))
+FUSE = int(os.environ.get('FUSE', 10))
 CALLS = int(os.environ.get('CALLS', 3))
 
 rng = np.random.RandomState(0)

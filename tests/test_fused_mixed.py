@@ -105,6 +105,37 @@ def test_mixed_fused_pure_discrete():
                                   np.asarray(st_ref.counts))
 
 
+def test_sharded_fused_matches_single_device_argmax():
+    """8-device row-sharded fused sweep (local block 64 -> global union
+    tile 512) must reproduce the single-device v3 sweep with block=512
+    exactly under deterministic argmax sampling."""
+    from distributions_tpu.parallel import sharding
+    spec, shareds, values, assignments = _mixed_problem(R=512)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    mesh = sharding.make_mesh()
+    n_dev = mesh.devices.size
+    assert n_dev == 8
+
+    cache = gibbs.build_stat_cache(spec, shareds, values, 64, assignments)
+    st_s, an_s, cache_s = sharding.sharded_sweep_fused(
+        spec, PY, shareds, state, values, assignments,
+        jax.random.PRNGKey(0), mesh, 64, cache, block_rows=64,
+        sampling='argmax')
+
+    cache1 = gibbs.build_stat_cache(spec, shareds, values, 512, assignments)
+    st_1, an_1, _ = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, 512, 64,
+        jax.random.PRNGKey(0), cache1, sampling='argmax')
+
+    np.testing.assert_array_equal(np.asarray(an_s), np.asarray(an_1))
+    np.testing.assert_array_equal(np.asarray(st_s.counts),
+                                  np.asarray(st_1.counts))
+    # the sharded cache (local per-tile sums) re-aggregates to a fresh one
+    fresh = gibbs.build_stat_cache(spec, shareds, values, 64, an_s)
+    np.testing.assert_array_equal(np.asarray(cache_s[0]),
+                                  np.asarray(fresh[0]))
+
+
 def test_mixed_fused_multi_sweep_and_tiles():
     """Multiple tiles per sweep + n_sweeps>1 fused in one program."""
     spec, shareds, values, assignments = _mixed_problem(R=512)
