@@ -58,7 +58,9 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
 
     for sweep in range(start_pass, passes):
         fused_ok = (use_pallas and pk.supports_mixed_pallas(spec)
-                    and spec.capacity % 128 == 0 and block % 512 == 0)
+                    and spec.capacity % 128 == 0 and block % 512 == 0
+                    and (jax.devices()[0].platform != 'cpu'
+                         or sampling.startswith('argmax')))
         if mx.needs_growth(spec, state, grow_headroom):
             spec, state = mx.grow_capacity(spec, state, 2 * spec.capacity)
             cache = None
