@@ -28,7 +28,11 @@ def main():
     # sizes (env-overridable for smoke tests)
     R = int(os.environ.get('BENCH_ROWS', 1048576))
     C = int(os.environ.get('BENCH_COMPONENTS', 1024))
-    BLOCK = int(os.environ.get('BENCH_BLOCK', 16384))
+    # block/kernel-rows tuning measured on the v5e chip (BENCH.md):
+    # 16384/512 = 24.7 ms/sweep, 32768/512 = 23.7, 65536/512 = 23.2,
+    # 65536/1024 = 21.2 (104x).  Larger tiles amortize the [C]-sized
+    # inter-kernel bookkeeping; BR=1024 halves per-grid-step overheads.
+    BLOCK = int(os.environ.get('BENCH_BLOCK', 65536))
     FEATURES = 2
     SWEEPS = int(os.environ.get('BENCH_SWEEPS', 30))
 
@@ -60,7 +64,7 @@ def main():
     use_pallas = (os.environ.get('BENCH_PALLAS', '1') == '1'
                   and jax.devices()[0].platform != 'cpu')
     kernel = os.environ.get('BENCH_KERNEL', 'v2')  # v2 | v1 | xla
-    kernel_rows = int(os.environ.get('BENCH_KERNEL_ROWS', 512))
+    kernel_rows = int(os.environ.get('BENCH_KERNEL_ROWS', 1024))
     fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS', '10'))
     if use_pallas and kernel == 'v2':
         # v2: in-kernel stats + inverse-CDF sampling; remove-side sums are

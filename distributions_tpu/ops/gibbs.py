@@ -202,12 +202,13 @@ def sequential_init(spec, cl_model, shareds, state, values, key):
 
 def _block_supports(spec, values):
     """Static per-block value supports for the mixed pallas sweep: None for
-    nich blocks, a sorted unique-value array for discrete blocks."""
+    nich/niw blocks (scored analytically), a sorted unique-value array for
+    discrete blocks."""
     import numpy as np
-    from distributions_tpu.models import nich as nich_mod
+    from distributions_tpu.models import nich as nich_mod, niw as niw_mod
     supports = []
     for block, v in zip(spec.blocks, values):
-        if block.module is nich_mod:
+        if block.module is nich_mod or block.module is niw_mod:
             supports.append(None)
         else:
             supports.append(np.unique(np.asarray(v)).astype(np.int32))
@@ -496,20 +497,22 @@ def sweep_blocked_pallas_fused(spec, cl_model, shareds, state, values,
 
 
 def _mixed_static_layout(spec, values, supports):
-    """Host-side static layout for the v3 mixed fused sweep: nich/table
+    """Host-side static layout for the v3 mixed fused sweep: nich/niw/table
     block split, per-block sorted supports, lane-padded V, support-index
-    columns, and per-block [V, S] stat matrices W (count_table @ W = raw
-    tile sums, since every discrete model's tile stats are linear in the
-    per-value counts)."""
+    columns, flattened niw value columns, and per-block [V, S] stat
+    matrices W (count_table @ W = raw tile sums, since every discrete
+    model's tile stats are linear in the per-value counts)."""
     import numpy as np
-    from distributions_tpu.models import nich as nich_mod
+    from distributions_tpu.models import nich as nich_mod, niw as niw_mod
 
     if supports is None:
         supports = _block_supports(spec, values)
     nich_blocks = [i for i, b in enumerate(spec.blocks)
                    if b.module is nich_mod]
+    quad_blocks = [i for i, b in enumerate(spec.blocks)
+                   if b.module is niw_mod]
     table_blocks = [i for i, b in enumerate(spec.blocks)
-                    if b.module is not nich_mod]
+                    if b.module is not nich_mod and b.module is not niw_mod]
     V_raw = max([len(supports[i]) for i in table_blocks], default=1)
     V = ((V_raw + 127) // 128) * 128
 
@@ -517,6 +520,14 @@ def _mixed_static_layout(spec, values, supports):
     nich_vals = (jnp.concatenate(
         [jnp.asarray(values[i], jnp.float32) for i in nich_blocks], axis=1)
         if nich_blocks else jnp.zeros((R, 1), jnp.float32))
+    quad_groups = []
+    quad_cols = []
+    for i in quad_blocks:
+        v = jnp.asarray(values[i], jnp.float32)          # [R, cols, D]
+        quad_groups.append((v.shape[1], v.shape[2]))
+        quad_cols.append(v.reshape(R, -1))
+    quad_vals = (jnp.concatenate(quad_cols, axis=1) if quad_blocks
+                 else jnp.zeros((R, 0), jnp.float32))
     if table_blocks:
         idx_cols = []
         for i in table_blocks:
@@ -528,8 +539,9 @@ def _mixed_static_layout(spec, values, supports):
     supports_dev = tuple(
         jnp.asarray(supports[i]) if supports[i] is not None else None
         for i in range(len(spec.blocks)))
-    return (tuple(nich_blocks), tuple(table_blocks), V, nich_vals,
-            table_idx, supports_dev)
+    return (tuple(nich_blocks), tuple(quad_blocks), tuple(table_blocks),
+            tuple(quad_groups), V, nich_vals, quad_vals, table_idx,
+            supports_dev)
 
 
 def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
@@ -554,11 +566,9 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
     assert R % block == 0
     n_blocks = R // block
     C = spec.capacity
-    (nich_blocks, table_blocks, V, nich_vals, table_idx,
-     supports_dev) = _mixed_static_layout(spec, values, supports)
-    ncols = nich_vals.shape[1]
-    col_groups = (tuple(spec.blocks[i].cols for i in nich_blocks)
-                  if nich_blocks else (1,))
+    (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
+     quad_vals, table_idx, supports_dev) = _mixed_static_layout(
+        spec, values, supports)
 
     # per-block [V, S] stat matrices (f32, rows beyond the support zero)
     W = []
@@ -571,14 +581,16 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
     W = tuple(W)
 
     return _fused_mixed_run(
-        spec, nich_blocks, table_blocks, V, block, block_rows, sampling,
-        n_sweeps, cl_model, shareds, state, assignments, key, cache,
-        nich_vals, table_idx, supports_dev, W)
+        spec, nich_blocks, quad_blocks, table_blocks, quad_groups, V,
+        block, block_rows, sampling, n_sweeps, cl_model, shareds, state,
+        assignments, key, cache, nich_vals, quad_vals, table_idx,
+        supports_dev, W)
 
 
-def _fused_tile_core(spec, nich_blocks, table_blocks, V, block_rows,
-                     sampling, cl_model, shareds, supports_dev, W,
-                     state, t_nich, t_idx, seed):
+def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
+                     quad_groups, V, block_rows, sampling, cl_model,
+                     shareds, supports_dev, W, state, t_nich, t_quad,
+                     t_idx, seed):
     """Score + sample + stats for ONE tile against the current (already
     tile-removed) state via the fused kernel.  Returns (new_assign [B],
     counts_delta [C], per-block raw sums) — sums in build_stat_cache's
@@ -599,6 +611,12 @@ def _fused_tile_core(spec, nich_blocks, table_blocks, V, block_rows,
              for i in nich_blocks], axis=0)
     else:
         coeffs = jnp.zeros((4, C), jnp.float32)
+    if quad_blocks:
+        qcoeffs = jnp.concatenate(
+            [pk.niw_coeffs_v4(shareds[i], state.groups[i])
+             for i in quad_blocks], axis=0)
+    else:
+        qcoeffs = None
 
     table_list = []
     for i in table_blocks:
@@ -615,17 +633,21 @@ def _fused_tile_core(spec, nich_blocks, table_blocks, V, block_rows,
     tables = (jnp.concatenate(table_list, axis=0) if table_list
               else jnp.zeros((0, V, C), jnp.float32))
 
-    new_assign, nich_sums, tcounts = pk.fused_mixed_score_sample_stats(
-        seed, t_nich, t_idx, cl_scores, coeffs, tables,
-        col_groups, block_rows=block_rows, sampling=sampling)
+    new_assign, nich_sums, tcounts, qsums = \
+        pk.fused_mixed_score_sample_stats(
+            seed, t_nich, t_idx, cl_scores, coeffs, tables,
+            col_groups, block_rows=block_rows, sampling=sampling,
+            qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups)
 
     # counts delta from the ones-columns of the nich stats
     # (the dummy zeros column provides it for nich-free specs)
     new_cd = jnp.round(nich_sums[:, 0]).astype(jnp.int32)
     # per-block raw sums in build_stat_cache's generic format
+    quad_raw = pk.quad_sums_to_raw(qsums, quad_groups)
     new_sums = []
     nc0 = 0
     tcol = 0
+    qi = 0
     for bi, b in enumerate(spec.blocks):
         if bi in nich_blocks:
             sl = slice(nc0, nc0 + b.cols)
@@ -634,6 +656,9 @@ def _fused_tile_core(spec, nich_blocks, table_blocks, V, block_rows,
             vv = nich_sums[:, 2 * ncols + nc0:2 * ncols + nc0 + b.cols]
             new_sums.append(jnp.stack([ones, vs, vv], axis=-1))
             nc0 += b.cols
+        elif bi in quad_blocks:
+            new_sums.append(quad_raw[qi])
+            qi += 1
         else:
             cols_s = []
             for c in range(b.cols):
@@ -645,14 +670,15 @@ def _fused_tile_core(spec, nich_blocks, table_blocks, V, block_rows,
     return new_assign, new_cd, tuple(new_sums)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
-def _fused_mixed_run(spec, nich_blocks, table_blocks, V, block, block_rows,
-                     sampling, n_sweeps, cl_model, shareds, state,
-                     assignments, key, cache, nich_vals, table_idx,
-                     supports_dev, W):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
+                     quad_groups, V, block, block_rows, sampling, n_sweeps,
+                     cl_model, shareds, state, assignments, key, cache,
+                     nich_vals, quad_vals, table_idx, supports_dev, W):
     R = assignments.shape[0]
     n_blocks = R // block
     tiled_nich = nich_vals.reshape(n_blocks, block, -1)
+    tiled_quad = quad_vals.reshape(n_blocks, block, -1)
     tiled_idx = table_idx.reshape(n_blocks, block, -1)
 
     def one_sweep(carry, sweep_key):
@@ -663,15 +689,15 @@ def _fused_mixed_run(spec, nich_blocks, table_blocks, V, block, block_rows,
             lambda k: jax.random.key_data(k)[-1].astype(jnp.int32))(keys)
 
         def step(state, inp):
-            t_nich, t_idx, cd, sums, seed = inp
+            t_nich, t_quad, t_idx, cd, sums, seed = inp
             tiles = mx.sums_to_tiles(spec, shareds, sums)
             state = mx.apply_stat_tiles(
                 spec, shareds, state, cd, tiles, -1, block)
 
             new_assign, new_cd, new_sums = _fused_tile_core(
-                spec, nich_blocks, table_blocks, V, block_rows, sampling,
-                cl_model, shareds, supports_dev, W, state, t_nich, t_idx,
-                seed)
+                spec, nich_blocks, quad_blocks, table_blocks, quad_groups,
+                V, block_rows, sampling, cl_model, shareds, supports_dev,
+                W, state, t_nich, t_quad, t_idx, seed)
 
             tiles = mx.sums_to_tiles(spec, shareds, new_sums)
             state = mx.apply_stat_tiles(
@@ -680,7 +706,8 @@ def _fused_mixed_run(spec, nich_blocks, table_blocks, V, block, block_rows,
 
         state, (new_tiled, out_cd, out_sums) = lax.scan(
             step, state,
-            (tiled_nich, tiled_idx, cached_cd, cached_sums, seeds))
+            (tiled_nich, tiled_quad, tiled_idx, cached_cd, cached_sums,
+             seeds))
         return (state, (out_cd, out_sums)), new_tiled
 
     (state, cache), tiled = lax.scan(

@@ -152,8 +152,9 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
     R = assignments.shape[0]
     assert R % (n_dev * block) == 0, (
         'pad rows to a multiple of devices*block')
-    (nich_blocks, table_blocks, V, nich_vals, table_idx,
-     supports_dev) = _g._mixed_static_layout(spec, values, supports)
+    (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
+     quad_vals, table_idx, supports_dev) = _g._mixed_static_layout(
+        spec, values, supports)
 
     W = []
     for i, b in enumerate(spec.blocks):
@@ -165,18 +166,19 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
     W = tuple(W)
 
     cache_specs = jax.tree_util.tree_map(lambda _: P(ROWS), cache)
-    in_specs = (P(ROWS), P(ROWS), P(), cache_specs, P())
+    in_specs = (P(ROWS), P(ROWS), P(ROWS), P(), cache_specs, P())
     out_specs = (P(), P(ROWS), cache_specs)
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
-    def run(nich_shard, idx_shard, state, cache, key):
+    def run(nich_shard, quad_shard, idx_shard, state, cache, key):
         local_R = nich_shard.shape[0]
         n_tiles = local_R // block
         shard_idx = lax.axis_index(ROWS)
         n_removed = block * lax.psum(1, ROWS)
 
         tiled_nich = nich_shard.reshape(n_tiles, block, -1)
+        tiled_quad = quad_shard.reshape(n_tiles, block, -1)
         tiled_idx = idx_shard.reshape(n_tiles, block, -1)
         gtiles = shard_idx * n_tiles + jnp.arange(n_tiles, dtype=jnp.int32)
 
@@ -188,7 +190,7 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
                     gtiles)
 
             def step(state, inp):
-                t_nich, t_idx, cd, sums, seed = inp
+                t_nich, t_quad, t_idx, cd, sums, seed = inp
                 g_cd = lax.psum(cd, ROWS)
                 g_sums = lax.psum(sums, ROWS)
                 tiles = mx.sums_to_tiles(spec, shareds, g_sums)
@@ -196,9 +198,10 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
                     spec, shareds, state, g_cd, tiles, -1, n_removed)
 
                 new_assign, new_cd, new_sums = _g._fused_tile_core(
-                    spec, nich_blocks, table_blocks, V, block_rows,
-                    sampling, cl_model, shareds, supports_dev, W, state,
-                    t_nich, t_idx, seed)
+                    spec, nich_blocks, quad_blocks, table_blocks,
+                    quad_groups, V, block_rows, sampling, cl_model,
+                    shareds, supports_dev, W, state, t_nich, t_quad,
+                    t_idx, seed)
 
                 g_cd = lax.psum(new_cd, ROWS)
                 g_sums = lax.psum(new_sums, ROWS)
@@ -209,14 +212,15 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
 
             state, (new_tiled, out_cd, out_sums) = lax.scan(
                 step, state,
-                (tiled_nich, tiled_idx, cached_cd, cached_sums, seeds))
+                (tiled_nich, tiled_quad, tiled_idx, cached_cd, cached_sums,
+                 seeds))
             return (state, (out_cd, out_sums)), new_tiled
 
         (state, cache), tiled = lax.scan(
             one_sweep, (state, cache), jax.random.split(key, n_sweeps))
         return state, tiled[-1].reshape(local_R), cache
 
-    return run(nich_vals, table_idx, state, cache, key)
+    return run(nich_vals, quad_vals, table_idx, state, cache, key)
 
 
 COMPONENTS = 'components'

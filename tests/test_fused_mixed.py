@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from distributions_tpu import clustering, mixture as mx
 from distributions_tpu.models import nich, gp as gp_mod, bb as bb_mod
 from distributions_tpu.models import dd as dd_mod
+from distributions_tpu.models import niw as niw_mod
 from distributions_tpu.ops import gibbs
 
 PY = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
@@ -134,6 +135,85 @@ def test_sharded_fused_matches_single_device_argmax():
     fresh = gibbs.build_stat_cache(spec, shareds, values, 64, an_s)
     np.testing.assert_array_equal(np.asarray(cache_s[0]),
                                   np.asarray(fresh[0]))
+
+
+def _niw_problem(R=512, C=128, seed=3, d=2, with_mixed=True):
+    rng = np.random.RandomState(seed)
+    blocks = [(niw_mod, 1)] + ([(nich, 1), (bb_mod, 1)] if with_mixed
+                               else [])
+    spec = mx.make_spec(blocks, capacity=C, empties=1)
+    shareds = [niw_mod.shared_from_dict(
+        {'mu': np.zeros(d), 'kappa': 1.0, 'psi': np.eye(d), 'nu': d + 1.})]
+    if with_mixed:
+        shareds += [
+            nich.shared_from_dict(
+                {'mu': 0., 'kappa': .1, 'sigmasq': 1., 'nu': 1.}),
+            bb_mod.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+        ]
+    labels = rng.randint(0, 3, R)
+    centers = np.array([[-3.] * d, [0.] * d, [3.] * d], np.float32)
+    vals = [jnp.asarray((centers[labels]
+                         + 0.5 * rng.randn(R, d))[:, None, :], jnp.float32)]
+    if with_mixed:
+        vals += [
+            jnp.asarray(np.array([[-2.], [0.], [2.]])[labels]
+                        + 0.4 * rng.randn(R, 1), jnp.float32),
+            jnp.asarray((rng.rand(R) < 0.3)[:, None]),
+        ]
+    return spec, tuple(shareds), tuple(vals), jnp.asarray(labels, jnp.int32)
+
+
+@pytest.mark.parametrize('with_mixed', [True, False])
+def test_niw_fused_argmax_matches_xla(with_mixed):
+    """niw (quadratic-form) blocks in the v4 fused kernel: deterministic
+    argmax sweep must reproduce the XLA blocked path, and the emitted
+    cache (incl. the in-kernel [1|v|upper-tri vv^T] contraction expanded
+    to full sum_xxT) must equal a fresh cache on the new assignments."""
+    from distributions_tpu.ops import pallas_kernels as pk
+    spec, shareds, values, assignments = _niw_problem(with_mixed=with_mixed)
+    assert pk.supports_mixed_pallas(spec)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    R = assignments.shape[0]
+    cache = gibbs.build_stat_cache(spec, shareds, values, R, assignments)
+
+    st4, an4, cache4 = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, R, 128,
+        jax.random.PRNGKey(0), cache, sampling='argmax')
+    st_ref, an_ref = _xla_argmax_sweep(spec, shareds, state, values,
+                                       assignments)
+
+    np.testing.assert_array_equal(np.asarray(an4), np.asarray(an_ref))
+    np.testing.assert_array_equal(np.asarray(st4.counts),
+                                  np.asarray(st_ref.counts))
+    fresh = gibbs.build_stat_cache(spec, shareds, values, R, an4)
+    np.testing.assert_array_equal(np.asarray(cache4[0]),
+                                  np.asarray(fresh[0]))
+    for got, want in zip(cache4[1], fresh[1]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-3)
+
+
+def test_niw_sharded_fused_matches_single_device():
+    from distributions_tpu.parallel import sharding
+    spec, shareds, values, assignments = _niw_problem(R=512)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    mesh = sharding.make_mesh()
+    assert mesh.devices.size == 8
+
+    cache = gibbs.build_stat_cache(spec, shareds, values, 64, assignments)
+    st_s, an_s, _ = sharding.sharded_sweep_fused(
+        spec, PY, shareds, state, values, assignments,
+        jax.random.PRNGKey(0), mesh, 64, cache, block_rows=64,
+        sampling='argmax')
+
+    cache1 = gibbs.build_stat_cache(spec, shareds, values, 512, assignments)
+    st_1, an_1, _ = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, 512, 64,
+        jax.random.PRNGKey(0), cache1, sampling='argmax')
+
+    np.testing.assert_array_equal(np.asarray(an_s), np.asarray(an_1))
+    np.testing.assert_array_equal(np.asarray(st_s.counts),
+                                  np.asarray(st_1.counts))
 
 
 def test_mixed_fused_multi_sweep_and_tiles():
