@@ -600,8 +600,7 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
 
     C = spec.capacity
     ncols = t_nich.shape[1]
-    col_groups = (tuple(spec.blocks[i].cols for i in nich_blocks)
-                  if nich_blocks else (1,))
+    col_groups = tuple(spec.blocks[i].cols for i in nich_blocks)
 
     cl_scores = _cl.score_value(
         cl_model, state.counts, state.alive, state.sample_size)
@@ -610,7 +609,7 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
             [pk.nich_coeffs_v2(shareds[i], state.groups[i])
              for i in nich_blocks], axis=0)
     else:
-        coeffs = jnp.zeros((4, C), jnp.float32)
+        coeffs = None
     if quad_blocks:
         qcoeffs = jnp.concatenate(
             [pk.niw_coeffs_v4(shareds[i], state.groups[i])
@@ -639,9 +638,15 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
             col_groups, block_rows=block_rows, sampling=sampling,
             qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups)
 
-    # counts delta from the ones-columns of the nich stats
-    # (the dummy zeros column provides it for nich-free specs)
-    new_cd = jnp.round(nich_sums[:, 0]).astype(jnp.int32)
+    # counts delta: the ones-column of whichever stat family is present
+    # (nich [1|v|v^2] sums; quad [1|v|vv^T] sums; or a count table's
+    # row-sums over the support)
+    if nich_blocks:
+        new_cd = jnp.round(nich_sums[:, 0]).astype(jnp.int32)
+    elif quad_blocks:
+        new_cd = jnp.round(qsums[:, 0]).astype(jnp.int32)
+    else:
+        new_cd = jnp.round(jnp.sum(tcounts[0], axis=1)).astype(jnp.int32)
     # per-block raw sums in build_stat_cache's generic format
     quad_raw = pk.quad_sums_to_raw(qsums, quad_groups)
     new_sums = []

@@ -210,10 +210,15 @@ def lax_cumlogsumexp(x, axis=0):
     return jnp.log(jnp.cumsum(jnp.exp(x - m), axis=axis)) + m
 
 
+# reference's fast_log_sum_exp (special.hpp:91-96); the XLA op is already
+# the fast path here
+fast_log_sum_exp = log_sum_exp
+
 __all__ = [
     'log', 'exp', 'sqrt', 'pi', 'lgamma', 'gammaln',
     'fast_log', 'fast_exp', 'fast_lgamma',
-    'log_sum_exp', 'logsumexp', 'log_beta', 'fast_log_beta',
+    'log_sum_exp', 'fast_log_sum_exp', 'logsumexp', 'log_beta',
+    'fast_log_beta',
     'log_binom', 'fast_log_binom', 'log_factorial', 'fast_log_factorial',
     'factorial', 'lgamma_nu', 'fast_lgamma_nu', 'lmultigamma',
     'log_stirling1_row', 'log1p_exp', 'scores_to_likelihoods',
