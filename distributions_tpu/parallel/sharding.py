@@ -375,6 +375,195 @@ def sharded_sweep_components(spec, cl_model, shareds, state, values,
     return run(state, values, assignments, key)
 
 
+def make_mesh_2d(n_rows, n_components, devices=None):
+    """2-D mesh ('rows' x 'components') — the DPMM analog of a (data,
+    tensor) parallel grid."""
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= n_rows * n_components
+    grid = np.asarray(devices[:n_rows * n_components]).reshape(
+        n_rows, n_components)
+    return Mesh(grid, (ROWS, COMPONENTS))
+
+
+def sharded_sweep_2d(spec, cl_model, shareds, state, values, assignments,
+                     key, mesh, block, sampling='gumbel'):
+    """Blocked sweep on a 2-D ('rows' x 'components') mesh: rows AND the
+    component axis sharded simultaneously — the full production scaling
+    story (data parallelism over observations composed with
+    tensor-parallel partitioning of the mixture state).
+
+    Per tile step, each device holds a [block, C_local] problem:
+      1. local stat deltas for ITS rows x ITS slot range; psum over 'rows'
+         completes each component shard's delta (O(C_local * S) floats on
+         ICI — scores and rows never move);
+      2. clustering normalization via two scalar psums over 'components';
+      3. scores [block, C_local] + per-(row, local-slot) gumbel noise;
+         the global categorical is one pmax pair-reduction over
+         'components' of (local max, global slot id) — [block] floats;
+      4. add-side deltas as in 1.
+
+    The effective global block is block * n_row_shards.  State leaves are
+    sharded over 'components' (each shard owns a contiguous slot range
+    with its reserved empty slots, as in sharded_sweep_components);
+    values/assignments are sharded over 'rows' and replicated over
+    'components'.
+
+    sampling='argmax' is the deterministic debug variant (exact-equality
+    tests against the single-device blocked sweep).
+    """
+    n_row = mesh.shape[ROWS]
+    n_comp = mesh.shape[COMPONENTS]
+    C = spec.capacity
+    assert C % n_comp == 0, 'capacity must divide over the component axis'
+    R = assignments.shape[0]
+    assert R % (n_row * block) == 0, (
+        'pad rows to a multiple of row-shards*block')
+
+    values = tuple(jnp.asarray(v) for v in values)
+
+    state_specs = mx.MixtureState(
+        counts=P(COMPONENTS), alive=P(COMPONENTS),
+        sample_size=P(),
+        groups=tuple(
+            jax.tree_util.tree_map(lambda _: P(COMPONENTS), g)
+            for g in state.groups))
+    in_specs = (state_specs, tuple(P(ROWS) for _ in values), P(ROWS), P())
+    out_specs = (state_specs, P(ROWS))
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def run(state, values_shard, assign_shard, key):
+        comp = lax.axis_index(COMPONENTS)
+        row_shard = lax.axis_index(ROWS)
+        C_local = C // n_comp
+        base = comp * C_local
+        local_R = assign_shard.shape[0]
+        n_tiles = local_R // block
+        n_removed = block * n_row
+        gblock = block * n_row
+
+        row_stats = mx.precompute_row_stats(spec, shareds, values_shard)
+        tiled_stats = tuple(
+            rs.reshape((n_tiles, block) + rs.shape[1:]) for rs in row_stats)
+        tiled_assign = assign_shard.reshape(n_tiles, block)
+        gtiles = jnp.arange(n_tiles, dtype=jnp.int32)
+
+        def local_deltas(tile_stats, assign_global):
+            """This device's rows x this device's slot range; psum over
+            'rows' completes the component shard's tile delta."""
+            local = assign_global - base
+            onehot = (local[:, None] == jnp.arange(
+                C_local, dtype=local.dtype)).astype(jnp.float32)
+            cd = jnp.round(jnp.sum(onehot, axis=0)).astype(jnp.int32)
+            tiles = []
+            for b, shared, rs in zip(spec.blocks, shareds, tile_stats):
+                flat = rs.reshape(rs.shape[0], -1)
+                sums = jnp.matmul(onehot.T, flat,
+                                  preferred_element_type=jnp.float32)
+                sums = sums.reshape((C_local,) + rs.shape[1:])
+                tiles.append(b.module.row_stats_to_tile(shared, sums))
+            cd = lax.psum(cd, ROWS)
+            tiles = lax.psum(tuple(tiles), ROWS)
+            return cd, tiles
+
+        def apply(state, cd, tiles, sign):
+            counts = state.counts + sign * cd
+            groups = []
+            for b, shared, group, tile in zip(
+                    spec.blocks, shareds, state.groups, tiles):
+                tg = mx._block_stats_to_group(b, shared, tile)
+                if sign > 0:
+                    g = b.module.merge(shared, group, tg)
+                else:
+                    g = b.module.unmerge(shared, group, tg)
+                    empty_now = counts == 0
+                    g = jax.tree_util.tree_map(
+                        lambda m: jnp.where(
+                            mx._expand(empty_now, m.ndim),
+                            jnp.zeros_like(m), m), g)
+                groups.append(g)
+            alive = mx._recompute_alive(counts, spec.empties)
+            return mx.MixtureState(
+                counts=counts, alive=alive,
+                sample_size=state.sample_size + sign * n_removed,
+                groups=tuple(groups))
+
+        def step(state, inp):
+            tile_vals, tile_stats, tile_assign, gtile = inp
+            cd, tiles = local_deltas(tile_stats, tile_assign)
+            state = apply(state, cd, tiles, -1)
+
+            # clustering scores for the local slot range with global
+            # normalization (two scalar psums over 'components')
+            is_empty = state.alive & (state.counts == 0)
+            g_empty = lax.psum(
+                jnp.sum(is_empty.astype(jnp.int32)), COMPONENTS)
+            g_nonempty = lax.psum(jnp.sum(
+                (state.alive & (state.counts > 0)).astype(jnp.int32)),
+                COMPONENTS)
+            n = jnp.asarray(state.sample_size, jnp.float32)
+            shift = -jnp.log(n + cl_model.alpha)
+            empty_score = jnp.log(
+                (cl_model.alpha + cl_model.d
+                 * g_nonempty.astype(jnp.float32))
+                / jnp.maximum(g_empty.astype(jnp.float32), 1.0)) + shift
+            occ = jnp.log(jnp.maximum(
+                state.counts.astype(jnp.float32) - cl_model.d,
+                1e-30)) + shift
+            cl_scores = jnp.where(is_empty, empty_score, occ)
+            cl_scores = jnp.where(state.alive, cl_scores, -jnp.inf)
+
+            scores = jnp.broadcast_to(cl_scores[None, :], (block, C_local))
+            for b, shared, group, v in zip(
+                    spec.blocks, shareds, state.groups, tile_vals):
+                scores = scores + jnp.where(
+                    state.alive[None, :],
+                    mx._block_score_batch(b, shared, group, v), 0.0)
+
+            if sampling == 'argmax':
+                total = scores
+            else:
+                gkey = jax.random.fold_in(
+                    jax.random.fold_in(
+                        jax.random.fold_in(key, gtile), row_shard), comp)
+                total = scores + jax.random.gumbel(gkey, scores.shape)
+            local_best = jnp.max(total, axis=1)                  # [B]
+            local_arg = base + jnp.argmax(total, axis=1)         # [B]
+            global_best = lax.pmax(local_best, COMPONENTS)
+            # tie-break to the LOWEST global slot id (matches a plain
+            # argmax over the unsharded score row)
+            winner = jnp.where(local_best == global_best, local_arg, C)
+            new_assign = lax.pmin(winner, COMPONENTS).astype(jnp.int32)
+
+            cd, tiles = local_deltas(tile_stats, new_assign)
+            state = apply(state, cd, tiles, +1)
+            return state, new_assign
+
+        state, new_tiled = lax.scan(
+            step, state,
+            (tuple(v.reshape((n_tiles, block) + v.shape[1:])
+                   for v in values_shard),
+             tiled_stats, tiled_assign, gtiles))
+        return state, new_tiled.reshape(local_R)
+
+    return run(state, values, assignments, key)
+
+
+def shard_state_components(state, mesh):
+    """Place a replicated MixtureState onto the 2-D mesh's component axis
+    (counts/alive/groups sharded; sample_size replicated)."""
+    from jax.sharding import NamedSharding
+    spec = mx.MixtureState(
+        counts=P(COMPONENTS), alive=P(COMPONENTS), sample_size=P(),
+        groups=tuple(
+            jax.tree_util.tree_map(lambda _: P(COMPONENTS), g)
+            for g in state.groups))
+    return jax.tree_util.tree_map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        state, spec)
+
+
 def sharded_score_data(spec, cl_model, shareds, state, mesh=None):
     """score_data on the replicated state (no collective needed — state is
     replicated; kept for API symmetry)."""
