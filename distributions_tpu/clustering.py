@@ -147,6 +147,25 @@ def py_score_value(model, counts, alive, sample_size, scores_dtype=jnp.float32):
     return jnp.where(alive, scores, -jnp.inf).astype(scores_dtype)
 
 
+def py_score_value_sharded(model, counts, alive, sample_size,
+                           global_empty, global_nonempty):
+    """py_score_value for a LOCAL slot range of a component-sharded state:
+    identical math, but the empty/nonempty slot counts are the caller's
+    global (psum'd over the component axis) values so the empty-slot mass
+    split matches the unsharded scorer exactly."""
+    counts = jnp.asarray(counts, jnp.float32)
+    alive = jnp.asarray(alive, bool)
+    is_empty = alive & (counts == 0)
+    n = jnp.asarray(sample_size, jnp.float32)
+    shift = -jnp.log(n + model.alpha)
+    empty_score = jnp.log(
+        (model.alpha + model.d * global_nonempty.astype(jnp.float32))
+        / jnp.maximum(global_empty.astype(jnp.float32), 1.0)) + shift
+    occupied_score = jnp.log(jnp.maximum(counts - model.d, 1e-30)) + shift
+    scores = jnp.where(is_empty, empty_score, occupied_score)
+    return jnp.where(alive, scores, -jnp.inf)
+
+
 def py_sample_assignments(key, model, size, capacity=None):
     """Sequential CRP/PY assignment sampling via lax.scan (reference
     src/clustering.cc:69-142).  Capacity-padded: tables beyond `capacity`

@@ -587,23 +587,14 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
         supports_dev, W)
 
 
-def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
-                     quad_groups, V, block_rows, sampling, cl_model,
-                     shareds, supports_dev, W, state, t_nich, t_quad,
-                     t_idx, seed):
-    """Score + sample + stats for ONE tile against the current (already
-    tile-removed) state via the fused kernel.  Returns (new_assign [B],
-    counts_delta [C], per-block raw sums) — sums in build_stat_cache's
-    generic format, all additive (psum-able across a device axis)."""
+def _build_fused_inputs(spec, nich_blocks, quad_blocks, table_blocks, V,
+                        shareds, supports_dev, state):
+    """Per-slot kernel coefficient inputs (coeffs, qcoeffs, tables) from
+    the current groups — works on full [C] or component-shard-local
+    [C_local] group batches alike."""
     from distributions_tpu.ops import pallas_kernels as pk
-    from distributions_tpu import clustering as _cl
 
-    C = spec.capacity
-    ncols = t_nich.shape[1]
-    col_groups = tuple(spec.blocks[i].cols for i in nich_blocks)
-
-    cl_scores = _cl.score_value(
-        cl_model, state.counts, state.alive, state.sample_size)
+    C = state.counts.shape[0]
     if nich_blocks:
         coeffs = jnp.concatenate(
             [pk.nich_coeffs_v2(shareds[i], state.groups[i])
@@ -631,6 +622,29 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
         table_list.append(per_col)
     tables = (jnp.concatenate(table_list, axis=0) if table_list
               else jnp.zeros((0, V, C), jnp.float32))
+    return coeffs, qcoeffs, tables
+
+
+def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
+                     quad_groups, V, block_rows, sampling, cl_model,
+                     shareds, supports_dev, W, state, t_nich, t_quad,
+                     t_idx, seed):
+    """Score + sample + stats for ONE tile against the current (already
+    tile-removed) state via the fused kernel.  Returns (new_assign [B],
+    counts_delta [C], per-block raw sums) — sums in build_stat_cache's
+    generic format, all additive (psum-able across a device axis)."""
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as _cl
+
+    C = spec.capacity
+    ncols = t_nich.shape[1]
+    col_groups = tuple(spec.blocks[i].cols for i in nich_blocks)
+
+    cl_scores = _cl.score_value(
+        cl_model, state.counts, state.alive, state.sample_size)
+    coeffs, qcoeffs, tables = _build_fused_inputs(
+        spec, nich_blocks, quad_blocks, table_blocks, V, shareds,
+        supports_dev, state)
 
     new_assign, nich_sums, tcounts, qsums = \
         pk.fused_mixed_score_sample_stats(

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from distributions_tpu import mixture as mx
+from distributions_tpu import clustering as _clustering
 from distributions_tpu.random import sample_from_scores
 
 ROWS = 'rows'
@@ -249,6 +250,8 @@ def sharded_sweep_components(spec, cl_model, shareds, state, values,
     Clustering scores need the global nonempty/empty counts: two scalar
     psums.  spec.capacity must be divisible by the mesh size.
     """
+    assert isinstance(cl_model, _clustering.PitmanYor), (
+        'component-sharded sweeps support the PitmanYor prior')
     n_dev = mesh.devices.size
     C = spec.capacity
     assert C % n_dev == 0, 'capacity must divide over the component mesh'
@@ -329,22 +332,14 @@ def sharded_sweep_components(spec, cl_model, shareds, state, values,
 
             # local slot scores with globally-correct normalization terms
             is_empty = state.alive & (state.counts == 0)
-            local_empty = jnp.sum(is_empty.astype(jnp.int32))
-            local_nonempty = jnp.sum(
-                (state.alive & (state.counts > 0)).astype(jnp.int32))
-            g_empty = lax.psum(local_empty, COMPONENTS)
-            g_nonempty = lax.psum(local_nonempty, COMPONENTS)
-            n = jnp.asarray(state.sample_size, jnp.float32)
-            shift = -jnp.log(n + cl_model.alpha)
-            empty_score = jnp.log(
-                (cl_model.alpha + cl_model.d
-                 * g_nonempty.astype(jnp.float32))
-                / jnp.maximum(g_empty.astype(jnp.float32), 1.0)) + shift
-            occ = jnp.log(jnp.maximum(
-                state.counts.astype(jnp.float32) - cl_model.d,
-                1e-30)) + shift
-            cl_scores = jnp.where(is_empty, empty_score, occ)
-            cl_scores = jnp.where(state.alive, cl_scores, -jnp.inf)
+            g_empty = lax.psum(
+                jnp.sum(is_empty.astype(jnp.int32)), COMPONENTS)
+            g_nonempty = lax.psum(jnp.sum(
+                (state.alive & (state.counts > 0)).astype(jnp.int32)),
+                COMPONENTS)
+            cl_scores = _clustering.py_score_value_sharded(
+                cl_model, state.counts, state.alive, state.sample_size,
+                g_empty, g_nonempty)
 
             scores = jnp.broadcast_to(cl_scores[None, :], (block, C_local))
             for b, shared, group, v in zip(
@@ -412,6 +407,8 @@ def sharded_sweep_2d(spec, cl_model, shareds, state, values, assignments,
     sampling='argmax' is the deterministic debug variant (exact-equality
     tests against the single-device blocked sweep).
     """
+    assert isinstance(cl_model, _clustering.PitmanYor), (
+        'component-sharded sweeps support the PitmanYor prior')
     n_row = mesh.shape[ROWS]
     n_comp = mesh.shape[COMPONENTS]
     C = spec.capacity
@@ -502,17 +499,9 @@ def sharded_sweep_2d(spec, cl_model, shareds, state, values, assignments,
             g_nonempty = lax.psum(jnp.sum(
                 (state.alive & (state.counts > 0)).astype(jnp.int32)),
                 COMPONENTS)
-            n = jnp.asarray(state.sample_size, jnp.float32)
-            shift = -jnp.log(n + cl_model.alpha)
-            empty_score = jnp.log(
-                (cl_model.alpha + cl_model.d
-                 * g_nonempty.astype(jnp.float32))
-                / jnp.maximum(g_empty.astype(jnp.float32), 1.0)) + shift
-            occ = jnp.log(jnp.maximum(
-                state.counts.astype(jnp.float32) - cl_model.d,
-                1e-30)) + shift
-            cl_scores = jnp.where(is_empty, empty_score, occ)
-            cl_scores = jnp.where(state.alive, cl_scores, -jnp.inf)
+            cl_scores = _clustering.py_score_value_sharded(
+                cl_model, state.counts, state.alive, state.sample_size,
+                g_empty, g_nonempty)
 
             scores = jnp.broadcast_to(cl_scores[None, :], (block, C_local))
             for b, shared, group, v in zip(
@@ -548,6 +537,150 @@ def sharded_sweep_2d(spec, cl_model, shareds, state, values, assignments,
         return state, new_tiled.reshape(local_R)
 
     return run(state, values, assignments, key)
+
+
+def sharded_sweep_2d_fused(spec, cl_model, shareds, state, values,
+                           assignments, key, mesh, block, block_rows=256,
+                           sampling='gumbel', supports=None):
+    """2-D (rows x components) sweep with the fused pallas kernel doing
+    the per-shard scoring + LOCAL gumbel-argmax: each device's [block,
+    C_local] problem runs as one Mosaic kernel emitting a (local best,
+    local argmax) pair; the global categorical is one pmax pair-reduction
+    over 'components'.  Suff stats are the XLA one-hot contraction on the
+    winning global slot ids (the kernel cannot accumulate stats before
+    the cross-shard winner is known), psum'd over 'rows'.
+
+    sampling: 'gumbel' (or 'gumbel_fast') | 'argmax' (deterministic
+    debug, exact-equality testable against sharded_sweep_2d).
+    """
+    from distributions_tpu.ops import gibbs as _g, pallas_kernels as pk
+
+    assert isinstance(cl_model, _clustering.PitmanYor), (
+        'component-sharded sweeps support the PitmanYor prior')
+    n_row = mesh.shape[ROWS]
+    n_comp = mesh.shape[COMPONENTS]
+    C = spec.capacity
+    assert C % n_comp == 0
+    C_local = C // n_comp
+    R = assignments.shape[0]
+    assert R % (n_row * block) == 0 and block % block_rows == 0
+
+    values = tuple(jnp.asarray(v) for v in values)
+    (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
+     quad_vals, table_idx, supports_dev) = _g._mixed_static_layout(
+        spec, values, supports)
+    col_groups = tuple(spec.blocks[i].cols for i in nich_blocks)
+
+    state_specs = mx.MixtureState(
+        counts=P(COMPONENTS), alive=P(COMPONENTS),
+        sample_size=P(),
+        groups=tuple(
+            jax.tree_util.tree_map(lambda _: P(COMPONENTS), g)
+            for g in state.groups))
+    in_specs = (state_specs, P(ROWS), P(ROWS), P(ROWS),
+                tuple(P(ROWS) for _ in values), P(ROWS), P())
+    out_specs = (state_specs, P(ROWS))
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+             check_vma=False)
+    def run(state, nich_shard, quad_shard, idx_shard, values_shard,
+            assign_shard, key):
+        comp = lax.axis_index(COMPONENTS)
+        row_shard = lax.axis_index(ROWS)
+        base = comp * C_local
+        local_R = assign_shard.shape[0]
+        n_tiles = local_R // block
+        n_removed = block * n_row
+
+        row_stats = mx.precompute_row_stats(spec, shareds, values_shard)
+        tiled_stats = tuple(
+            rs.reshape((n_tiles, block) + rs.shape[1:]) for rs in row_stats)
+        tiled_assign = assign_shard.reshape(n_tiles, block)
+        tiled_nich = nich_shard.reshape(n_tiles, block, -1)
+        tiled_quad = quad_shard.reshape(n_tiles, block, -1)
+        tiled_idx = idx_shard.reshape(n_tiles, block, -1)
+        gtiles = jnp.arange(n_tiles, dtype=jnp.int32)
+
+        def local_deltas(tile_stats, assign_global):
+            local = assign_global - base
+            onehot = (local[:, None] == jnp.arange(
+                C_local, dtype=local.dtype)).astype(jnp.float32)
+            cd = jnp.round(jnp.sum(onehot, axis=0)).astype(jnp.int32)
+            tiles = []
+            for b, shared, rs in zip(spec.blocks, shareds, tile_stats):
+                flat = rs.reshape(rs.shape[0], -1)
+                sums = jnp.matmul(onehot.T, flat,
+                                  preferred_element_type=jnp.float32)
+                sums = sums.reshape((C_local,) + rs.shape[1:])
+                tiles.append(b.module.row_stats_to_tile(shared, sums))
+            return lax.psum(cd, ROWS), lax.psum(tuple(tiles), ROWS)
+
+        def apply(state, cd, tiles, sign):
+            counts = state.counts + sign * cd
+            groups = []
+            for b, shared, group, tile in zip(
+                    spec.blocks, shareds, state.groups, tiles):
+                tg = mx._block_stats_to_group(b, shared, tile)
+                if sign > 0:
+                    g = b.module.merge(shared, group, tg)
+                else:
+                    g = b.module.unmerge(shared, group, tg)
+                    empty_now = counts == 0
+                    g = jax.tree_util.tree_map(
+                        lambda m: jnp.where(
+                            mx._expand(empty_now, m.ndim),
+                            jnp.zeros_like(m), m), g)
+                groups.append(g)
+            return mx.MixtureState(
+                counts=counts,
+                alive=mx._recompute_alive(counts, spec.empties),
+                sample_size=state.sample_size + sign * n_removed,
+                groups=tuple(groups))
+
+        def step(state, inp):
+            t_nich, t_quad, t_idx, tile_stats, tile_assign, gtile = inp
+            cd, tiles = local_deltas(tile_stats, tile_assign)
+            state = apply(state, cd, tiles, -1)
+
+            is_empty = state.alive & (state.counts == 0)
+            g_empty = lax.psum(
+                jnp.sum(is_empty.astype(jnp.int32)), COMPONENTS)
+            g_nonempty = lax.psum(jnp.sum(
+                (state.alive & (state.counts > 0)).astype(jnp.int32)),
+                COMPONENTS)
+            cl_scores = _clustering.py_score_value_sharded(
+                cl_model, state.counts, state.alive, state.sample_size,
+                g_empty, g_nonempty).astype(jnp.float32)
+
+            coeffs, qcoeffs, tables = _g._build_fused_inputs(
+                spec, nich_blocks, quad_blocks, table_blocks, V, shareds,
+                supports_dev, state)
+            seed = jax.random.key_data(jax.random.fold_in(
+                jax.random.fold_in(
+                    jax.random.fold_in(key, gtile), row_shard),
+                comp))[-1].astype(jnp.int32)
+            local_arg, local_best = pk.fused_score_sample_pair(
+                seed, t_nich, t_idx, cl_scores, coeffs, tables,
+                col_groups, block_rows=block_rows, sampling=sampling,
+                qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups)
+
+            global_best = lax.pmax(local_best, COMPONENTS)
+            winner = jnp.where(local_best == global_best,
+                               base + local_arg, C)
+            new_assign = lax.pmin(winner, COMPONENTS).astype(jnp.int32)
+
+            cd, tiles = local_deltas(tile_stats, new_assign)
+            state = apply(state, cd, tiles, +1)
+            return state, new_assign
+
+        state, new_tiled = lax.scan(
+            step, state,
+            (tiled_nich, tiled_quad, tiled_idx, tiled_stats, tiled_assign,
+             gtiles))
+        return state, new_tiled.reshape(local_R)
+
+    return run(state, nich_vals, quad_vals, table_idx, values,
+               assignments, key)
 
 
 def shard_state_components(state, mesh):

@@ -235,6 +235,66 @@ def test_fused_mixed_v3_statistics():
 
 
 @requires_tpu
+def test_fused_niw_v4_statistics():
+    """v4 fused sweep with a niw (d=2) quadratic-form block + nich + bb:
+    slot counts must match XLA-path softmax expectations, and the emitted
+    cache (incl. expanded sum_xxT) must equal a fresh one."""
+    from distributions_tpu.models import niw as niw_mod
+    rng = np.random.RandomState(0)
+    R, C, d = 4096, 128, 2
+    spec = mx.make_spec([(niw_mod, 1), (nich, 1), (bb_mod, 1)],
+                        capacity=C, empties=1)
+    shareds = (
+        niw_mod.shared_from_dict(
+            {'mu': np.zeros(d), 'kappa': 1.0, 'psi': np.eye(d),
+             'nu': d + 1.}),
+        nich.shared_from_dict({'mu': 0., 'kappa': .1, 'sigmasq': 1.,
+                               'nu': 1.}),
+        bb_mod.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),
+    )
+    labels = rng.randint(0, 3, R)
+    centers = np.array([[-3.] * d, [0.] * d, [3.] * d], np.float32)
+    values = (
+        jnp.asarray((centers[labels]
+                     + 0.5 * rng.randn(R, d))[:, None, :], jnp.float32),
+        jnp.asarray(np.array([[-2.], [0.], [2.]])[labels]
+                    + 0.4 * rng.randn(R, 1), jnp.float32),
+        jnp.asarray((rng.rand(R) < 0.3)[:, None]),
+    )
+    assignments = jnp.asarray(labels, jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cache = gibbs.build_stat_cache(spec, shareds, values, R, assignments)
+    st, an, cache2 = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, R, 256,
+        jax.random.PRNGKey(0), cache, sampling='cdf')
+    an = np.asarray(an)
+    counts = np.asarray(st.counts)
+    assert counts.sum() == R
+    assert np.bincount(an, minlength=C).tolist() == counts.tolist()
+    fresh = gibbs.build_stat_cache(spec, shareds, values, R, an)
+    np.testing.assert_array_equal(np.asarray(cache2[0]),
+                                  np.asarray(fresh[0]))
+    for got, want in zip(cache2[1], fresh[1]):
+        got, want = np.asarray(got), np.asarray(want)
+        # kernel MXU reduction vs XLA's fresh contraction use different
+        # f32 summation trees; cancelling sums (e.g. sum_x over +-3
+        # centers) differ by O(1e-5) of the GROSS accumulated magnitude
+        np.testing.assert_allclose(
+            got, want, rtol=1e-3,
+            atol=1e-4 * max(1.0, float(np.abs(want).max())))
+    st_rm = mx.remove_tile(spec, PY, shareds, state, values, assignments)
+    from scipy.special import softmax
+    ref = np.asarray(mx.score_batch(spec, PY, shareds, st_rm, values))
+    p = softmax(ref, axis=1)
+    cnt = np.bincount(an, minlength=C).astype(float)
+    exp = p.sum(0)
+    var = np.maximum((p * (1 - p)).sum(0), 1e-9)
+    z = (cnt - exp) / np.sqrt(var)
+    big = exp > 20
+    assert np.abs(z[big]).max() < 5.0, z[big]
+
+
+@requires_tpu
 def test_mixed_sweep_statistics():
     """gp + bb + nich blocks through the generic table kernel; slot counts
     must match XLA-path softmax expectations."""
