@@ -216,6 +216,61 @@ def test_niw_sharded_fused_matches_single_device():
                                   np.asarray(st_1.counts))
 
 
+def test_dpd_fused_argmax_matches_xla():
+    """dpd (mutable stick-breaking Shared) through the fused table path:
+    sticks are realized for the observed support up front, then the
+    fused argmax sweep must equal the XLA blocked path."""
+    from distributions_tpu.models import dpd as dpd_mod
+    rng = np.random.RandomState(5)
+    R, C = 256, 128
+    spec = mx.make_spec([(dpd_mod, 1), (nich, 1)], capacity=C, empties=1)
+    sh = dpd_mod.shared_from_dict(
+        {'gamma': 1.0, 'alpha': 1.0, 'betas': {}}, cap=16)
+    key = jax.random.PRNGKey(7)
+    for v in range(6):                      # break sticks for values 0..5
+        key, sub = jax.random.split(key)
+        sh = dpd_mod.shared_add_value(sub, sh, v)
+    shareds = (sh, nich.shared_from_dict(
+        {'mu': 0., 'kappa': .1, 'sigmasq': 1., 'nu': 1.}))
+    labels = rng.randint(0, 3, R)
+    values = (
+        jnp.asarray(np.where(labels == 0, rng.randint(0, 3, R),
+                             rng.randint(3, 6, R))[:, None], jnp.int32),
+        jnp.asarray(np.array([[-2.], [0.], [2.]])[labels]
+                    + 0.4 * rng.randn(R, 1), jnp.float32),
+    )
+    assignments = jnp.asarray(labels, jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cache = gibbs.build_stat_cache(spec, shareds, values, R, assignments)
+
+    st3, an3, _ = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, PY, shareds, state, values, assignments, R, 128,
+        jax.random.PRNGKey(0), cache, sampling='argmax')
+    st_ref, an_ref = _xla_argmax_sweep(spec, shareds, state, values,
+                                       assignments)
+    np.testing.assert_array_equal(np.asarray(an3), np.asarray(an_ref))
+    np.testing.assert_array_equal(np.asarray(st3.counts),
+                                  np.asarray(st_ref.counts))
+
+
+def test_low_entropy_prior_fused_argmax():
+    """LowEntropy clustering prior through the fused sweep (cl scores are
+    computed outside the kernel, so any prior composes)."""
+    le = clustering.LowEntropy.from_dict({'dataset_size': 512})
+    spec, shareds, values, assignments = _mixed_problem()
+    state = mx.state_from_assignments(spec, le, shareds, values, assignments)
+    R = assignments.shape[0]
+    cache = gibbs.build_stat_cache(spec, shareds, values, R, assignments)
+
+    st3, an3, _ = gibbs.sweep_blocked_pallas_fused_mixed(
+        spec, le, shareds, state, values, assignments, R, 128,
+        jax.random.PRNGKey(0), cache, sampling='argmax')
+    st = mx.remove_tile(spec, le, shareds, state, values, assignments)
+    scores = mx.score_batch(spec, le, shareds, st, values)
+    an_ref = jnp.argmax(scores, axis=1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(an3), np.asarray(an_ref))
+
+
 def test_mixed_fused_multi_sweep_and_tiles():
     """Multiple tiles per sweep + n_sweeps>1 fused in one program."""
     spec, shareds, values, assignments = _mixed_problem(R=512)
