@@ -58,6 +58,15 @@ elif SPEC == 'bbddgp':
         jnp.asarray(rng.poisson(1.0 + (labels % 16))[:, None], jnp.int32),
     )
     feat_cells = 3
+elif SPEC == 'bnb1':
+    from distributions_tpu.models import bnb as bnb_mod
+    spec = mx.make_spec([(bnb_mod, 1)], capacity=C, empties=1)
+    shareds = (bnb_mod.shared_from_dict(
+        {'alpha': 1.0, 'beta': 4.0, 'r': 2}),)
+    p = 0.2 + 0.6 * (labels % 8) / 8.0
+    values = (jnp.asarray(
+        rng.negative_binomial(2, 1.0 - p)[:, None], jnp.int32),)
+    feat_cells = 1
 elif SPEC in ('niw2', 'niw2mix'):
     d = 2
     blocks = [(niw_mod, 1)]

@@ -18,7 +18,10 @@ from distributions_tpu.ops import gibbs, pallas_kernels as pk
 
 assert jax.devices()[0].platform != 'cpu'
 
-R, C, BLOCK, BR, REPS = 1048576, 1024, 16384, 512, 10
+import os
+R, C, REPS = 1048576, 1024, 10
+BLOCK = int(os.environ.get('BLOCK', 65536))
+BR = int(os.environ.get('BR', 1024))
 rng = np.random.RandomState(0)
 spec = mx.make_spec([(nich, 2)], capacity=C, empties=1)
 cl = clustering.PitmanYor.from_dict({'alpha': 100.0, 'd': 0.1})
