@@ -18,7 +18,8 @@ from distributions_tpu.ops import gibbs
 def run_gibbs(spec, cl_model, shareds, values, key, passes,
               block=4096, checkpoint_path=None, checkpoint_every=10,
               resume=True, init='prior', use_pallas=False,
-              grow_headroom=0.125, log=None, mesh=None, sampling='cdf'):
+              grow_headroom=0.125, log=None, mesh=None, sampling='cdf',
+              block_rows=1024):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
 
     - resumes from `checkpoint_path` when it exists (bitwise-continuing the
@@ -79,7 +80,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             state, assignments, cache = \
                 gibbs.sweep_blocked_pallas_fused_mixed(
                     spec, cl_model, shareds, state, values, assignments,
-                    block, 512, sub, cache, sampling=sampling)
+                    block, min(block_rows, block), sub, cache,
+                    sampling=sampling)
         elif use_pallas:
             state, assignments = gibbs.sweep_blocked_pallas(
                 spec, cl_model, shareds, state, values, assignments, block,

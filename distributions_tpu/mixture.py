@@ -463,6 +463,20 @@ def needs_growth(spec, state, headroom=0.125):
     return free < max(1, int(headroom * spec.capacity))
 
 
+def log_predictive(spec, cl_model, shareds, state, values):
+    """Collapsed posterior-predictive density of new rows:
+    log p(x | data) = logsumexp_k [log p(z=k | partition) + log p(x | k)]
+    — the serving-path density (the [B, C] matrix is score_batch; the
+    seating scores from the clustering prior are already normalized over
+    alive slots, so one logsumexp marginalizes the assignment).
+
+    Identity (tested): equals logsumexp_k of score_data(state + x at k)
+    - score_data(state), the reference's chain rule
+    (tests/test_models.py:229-251 semantics)."""
+    scores = score_batch(spec, cl_model, shareds, state, values)
+    return jax.scipy.special.logsumexp(scores, axis=1)
+
+
 def score_data_grid(spec, cl_model, shareds_grid, state):
     """Score the current groups under a grid of Shared hyperparameter
     settings (reference dd.hpp:259-287 / mixture.hpp:238-247's

@@ -299,3 +299,35 @@ def test_xla_table_sweep_matches_blocked():
     np.testing.assert_array_equal(np.asarray(an_t), np.asarray(an_x))
     np.testing.assert_array_equal(np.asarray(st_t.counts),
                                   np.asarray(st_x.counts))
+
+
+def test_log_predictive_matches_score_data_chain_rule():
+    """log_predictive == logsumexp_k [score_data(state + x at k)
+    - score_data(state)] (the reference's chain-rule identity,
+    tests/test_models.py:229-251, marginalized over the assignment)."""
+    import jax
+    from distributions_tpu.models import nich as nich_mod
+    rng = np.random.RandomState(4)
+    spec = mx.make_spec([(nich_mod, 2)], capacity=8, empties=1)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    shareds = (nich_mod.shared_from_dict(
+        {'mu': 0., 'kappa': 0.5, 'sigmasq': 1.0, 'nu': 2.}),)
+    values = (jnp.asarray(rng.randn(12, 2), jnp.float32),)
+    assignments = jnp.asarray(rng.randint(0, 3, 12), jnp.int32)
+    state = mx.state_from_assignments(spec, cl, shareds, values, assignments)
+
+    new_rows = (jnp.asarray(rng.randn(5, 2), jnp.float32),)
+    got = np.asarray(mx.log_predictive(spec, cl, shareds, state, new_rows))
+
+    base = float(mx.score_data(spec, cl, shareds, state))
+    want = []
+    for i in range(5):
+        row = tuple(v[i] for v in new_rows)
+        per_k = []
+        for k in range(spec.capacity):
+            if not bool(state.alive[k]):
+                continue
+            st2, _ = mx.add_value(spec, cl, shareds, state, k, row)
+            per_k.append(float(mx.score_data(spec, cl, shareds, st2)) - base)
+        want.append(float(jax.scipy.special.logsumexp(jnp.asarray(per_k))))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
