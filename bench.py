@@ -64,7 +64,9 @@ def main():
     use_pallas = (os.environ.get('BENCH_PALLAS', '1') == '1'
                   and jax.devices()[0].platform != 'cpu')
     kernel = os.environ.get('BENCH_KERNEL', 'v2')  # v2 | v1 | xla
-    kernel_rows = int(os.environ.get('BENCH_KERNEL_ROWS', 1024))
+    from distributions_tpu.ops import pallas_kernels as pk
+    kernel_rows = int(os.environ.get(
+        'BENCH_KERNEL_ROWS', pk.auto_block_rows(C, 1024)))
     fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS', '10'))
     if use_pallas and kernel == 'v2':
         # v2: in-kernel stats + inverse-CDF sampling; remove-side sums are

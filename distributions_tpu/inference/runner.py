@@ -30,6 +30,11 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     - validates invariants at config.DEBUG_LEVEL >= 1,
     - row-shards over `mesh` when given.
 
+    init: 'prior' (sequential CRP predictive) | 'sequential' (greedy
+    posterior predictive) | 'random:K' (uniform over the first K slots —
+    the scalable choice: both exact inits are R-step sequential scans,
+    and the remote TPU compiler wedges on them for R ~ 1e6).
+
     Returns (state, assignments, logger).
     """
     logger = log or diagnostics.SweepLogger()
@@ -47,6 +52,13 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         if init == 'prior':
             state, assignments = gibbs.prior_init(
                 spec, cl_model, shareds, state, values, sub)
+        elif init.startswith('random'):
+            k0 = int(init.split(':')[1]) if ':' in init else 64
+            R = int(jax.numpy.asarray(values[0]).shape[0])
+            assignments = jax.random.randint(
+                sub, (R,), 0, min(k0, spec.capacity), dtype=jax.numpy.int32)
+            state = mx.state_from_assignments(
+                spec, cl_model, shareds, values, assignments)
         else:
             state, assignments = gibbs.sequential_init(
                 spec, cl_model, shareds, state, values, sub)
@@ -77,11 +89,12 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             if cache is None:
                 cache = gibbs.build_stat_cache(
                     spec, shareds, values, block, assignments)
+            br = pk.auto_block_rows(spec.capacity,
+                                    min(block_rows, block))
             state, assignments, cache = \
                 gibbs.sweep_blocked_pallas_fused_mixed(
                     spec, cl_model, shareds, state, values, assignments,
-                    block, min(block_rows, block), sub, cache,
-                    sampling=sampling)
+                    block, br, sub, cache, sampling=sampling)
         elif use_pallas:
             state, assignments = gibbs.sweep_blocked_pallas(
                 spec, cl_model, shareds, state, values, assignments, block,

@@ -80,3 +80,13 @@ def test_debug_validators():
             debug.validate_state(spec, bad)
     finally:
         config.DEBUG_LEVEL = old
+
+
+def test_runner_random_init():
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    state, assign, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(3), passes=3,
+        block=32, init='random:8')
+    a = np.asarray(assign)
+    assert a.min() >= 0 and int(np.asarray(state.counts).sum()) == a.shape[0]
