@@ -66,7 +66,7 @@ def main():
     kernel = os.environ.get('BENCH_KERNEL', 'v2')  # v2 | v1 | xla
     from distributions_tpu.ops import pallas_kernels as pk
     kernel_rows = int(os.environ.get(
-        'BENCH_KERNEL_ROWS', pk.auto_block_rows(C, 1024)))
+        'BENCH_KERNEL_ROWS', pk.auto_block_rows(C, 1024, block=BLOCK) or 128))
     fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS', '10'))
     if use_pallas and kernel == 'v2':
         # v2: in-kernel stats + inverse-CDF sampling; remove-side sums are

@@ -35,6 +35,15 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     the scalable choice: both exact inits are R-step sequential scans,
     and the remote TPU compiler wedges on them for R ~ 1e6).
 
+    Resume contract: the checkpoint carries the RNG key, sweep index,
+    and logger rows, so a restart continues the *stream of sweep keys*
+    bitwise.  The draws themselves are bitwise-identical only when the
+    restarted run selects the same sweep path (same use_pallas/sampling/
+    block/block_rows and the same fused-path eligibility); with
+    use_pallas=True, eligible specs route to the fused mixed kernel with
+    the given `sampling` mode, which is a *different RNG stream* than the
+    non-fused gumbel path — equal in distribution, not bitwise.
+
     Returns (state, assignments, logger).
     """
     logger = log or diagnostics.SweepLogger()
@@ -70,13 +79,16 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     cache = None
 
     for sweep in range(start_pass, passes):
-        fused_ok = (use_pallas and pk.supports_mixed_pallas(spec)
-                    and spec.capacity % 128 == 0 and block % 512 == 0
-                    and (jax.devices()[0].platform != 'cpu'
-                         or sampling.startswith('argmax')))
         if mx.needs_growth(spec, state, grow_headroom):
             spec, state = mx.grow_capacity(spec, state, 2 * spec.capacity)
             cache = None
+        br = pk.auto_block_rows(spec.capacity, min(block_rows, block),
+                                block=block)
+        fused_ok = (use_pallas and pk.supports_mixed_pallas(spec)
+                    and spec.capacity % 128 == 0 and block % 512 == 0
+                    and br is not None
+                    and (jax.devices()[0].platform != 'cpu'
+                         or sampling.startswith('argmax')))
 
         key, sub = jax.random.split(key)
         t0 = time.time()
@@ -89,8 +101,6 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             if cache is None:
                 cache = gibbs.build_stat_cache(
                     spec, shareds, values, block, assignments)
-            br = pk.auto_block_rows(spec.capacity,
-                                    min(block_rows, block))
             state, assignments, cache = \
                 gibbs.sweep_blocked_pallas_fused_mixed(
                     spec, cl_model, shareds, state, values, assignments,

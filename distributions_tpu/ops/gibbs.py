@@ -385,61 +385,6 @@ def build_stat_cache(spec, shareds, values, block, assignments):
     return jax.vmap(one)(tiled_stats, tiled_assign)
 
 
-@partial(jax.jit, static_argnums=(0, 6, 7))
-def sweep_blocked_pallas_cached(spec, cl_model, shareds, state, values,
-                                assignments, block, block_rows, key, cache):
-    """Pallas sweep with cached remove-side tile sums: the add-side sums
-    emitted by sweep t are fed back as sweep t+1's `cache`, halving the
-    one-hot contraction work (see BENCH.md roadmap #3).
-
-    cache = build_stat_cache(...) on the current assignments.
-    Returns (state, assignments, new_cache)."""
-    from distributions_tpu.ops import pallas_kernels as pk
-    from distributions_tpu import clustering as _cl
-
-    assert pk.supports_pallas(spec)
-    R = assignments.shape[0]
-    n_blocks = R // block
-    keys = jax.random.split(key, n_blocks)
-    seeds = jax.vmap(
-        lambda k: jax.random.key_data(k)[-1].astype(jnp.int32))(keys)
-
-    values_cat = jnp.concatenate(
-        [jnp.asarray(v) for v in values], axis=1)
-    tiled_values = values_cat.reshape(n_blocks, block, -1)
-    row_stats = mx.precompute_row_stats(spec, shareds, values)
-    tiled_stats = tuple(
-        rs.reshape((n_blocks, block) + rs.shape[1:]) for rs in row_stats)
-
-    cached_cd, cached_sums = cache
-
-    def step(state, inp):
-        tile_vals, tile_stats, cd, sums, seed = inp
-        tiles = mx.sums_to_tiles(spec, shareds, sums)
-        state = mx.apply_stat_tiles(
-            spec, shareds, state, cd, tiles, -1, block)
-
-        cl_scores = _cl.score_value(
-            cl_model, state.counts, state.alive, state.sample_size)
-        coeffs = jnp.concatenate(
-            [pk.nich_coeffs(shared, group)
-             for shared, group in zip(shareds, state.groups)], axis=0)
-        new_assign = pk.nich_score_sample(
-            seed, tile_vals, cl_scores, coeffs, block_rows=block_rows)
-
-        new_cd, new_sums = mx.tile_sums_fast(
-            spec, shareds, tile_stats, new_assign)
-        tiles = mx.sums_to_tiles(spec, shareds, new_sums)
-        state = mx.apply_stat_tiles(
-            spec, shareds, state, new_cd, tiles, +1, block)
-        return state, (new_assign, new_cd, new_sums)
-
-    state, (new_tiled, out_cd, out_sums) = lax.scan(
-        step, state,
-        (tiled_values, tiled_stats, cached_cd, cached_sums, seeds))
-    return state, new_tiled.reshape(R), (out_cd, out_sums)
-
-
 @partial(jax.jit, static_argnums=(0, 6, 7, 10))
 def sweep_blocked_pallas_fused(spec, cl_model, shareds, state, values,
                                assignments, block, block_rows, key, cache,

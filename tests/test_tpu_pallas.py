@@ -77,27 +77,6 @@ def test_pallas_sweep_matches_xla_statistically():
 
 
 @requires_tpu
-def test_cached_sweep_matches_uncached():
-    spec, shareds, values, assignments, _ = _problem()
-    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
-    key = jax.random.PRNGKey(1)
-    cache = gibbs.build_stat_cache(spec, shareds, values, 1024, assignments)
-    st_c, an_c, cache = gibbs.sweep_blocked_pallas_cached(
-        spec, PY, shareds, state, values, assignments, 1024, 256, key,
-        cache)
-    st_u, an_u = gibbs.sweep_blocked_pallas(
-        spec, PY, shareds, state, values, assignments, 1024, 256, key=key)
-    # identical seeds + identical remove-side stats -> identical draws
-    assert np.asarray(an_c).tolist() == np.asarray(an_u).tolist()
-    assert np.asarray(st_c.counts).tolist() == \
-        np.asarray(st_u.counts).tolist()
-    # the emitted cache equals a fresh cache on the new assignments
-    fresh = gibbs.build_stat_cache(spec, shareds, values, 1024, an_c)
-    np.testing.assert_array_equal(np.asarray(cache[0]),
-                                  np.asarray(fresh[0]))
-
-
-@requires_tpu
 def test_fused_v2_kernel_distribution_and_stats():
     """v2 kernel (product-form scoring + inverse-CDF sampling + in-kernel
     stat contraction): draws must match the XLA softmax expectation and
