@@ -232,7 +232,16 @@ def le_log_partition_function(model, sample_size):
 
 
 def _le_postpred_correction(model, sample_size):
-    """reference dbg/clustering.py:273-284."""
+    """reference dbg/clustering.py:273-284.
+
+    The reference's two flavors DISAGREE here: the C++ production flavor
+    divides in float (clustering.hpp:319 takes sample_size as float, so
+    :326 `scale = dataset_size / sample_size` is float division) while the
+    py2 dbg flavor floors (dbg/clustering.py:283 int/int) — masked in the
+    reference's own suite by the 0.5-loosened LowEntropy tolerance
+    (reference tests/test_clustering.py:174-179).  This implementation
+    follows the production C++ semantics; the golden fixtures
+    (tests/golden/) pin that choice against the reference C++ itself."""
     n = jnp.asarray(sample_size, jnp.float32)
     N = jnp.asarray(model.dataset_size, jnp.float32)
     exponent = 0.45 - 0.1 / n - 0.1 / N
