@@ -88,7 +88,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                     and spec.capacity % 128 == 0 and block % 512 == 0
                     and br is not None
                     and (jax.devices()[0].platform != 'cpu'
-                         or sampling.startswith('argmax')))
+                         or sampling.startswith('argmax')
+                         or sampling.endswith('_host')))
 
         key, sub = jax.random.split(key)
         t0 = time.time()

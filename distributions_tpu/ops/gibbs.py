@@ -501,6 +501,11 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
     per-column [C, V] count tables, converted to per-model raw tile sums
     by a [C,V]x[V,S] matmul outside the kernel.
 
+    sampling 'cdf_host' / 'gumbel_host' draw the noise host-side from the
+    sweep key (per tile) and feed it as a kernel operand: CPU-testable
+    (interpret mode has no TPU-core PRNG) and key-reproducible across
+    backends, at the cost of materializing the noise in HBM.
+
     cache = build_stat_cache(...) on the current assignments (the generic
     raw-sums format).  n_sweeps > 1 scans whole sweeps inside one device
     program.  Returns (state, assignments, new_cache)."""
@@ -573,7 +578,7 @@ def _build_fused_inputs(spec, nich_blocks, quad_blocks, table_blocks, V,
 def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
                      quad_groups, V, block_rows, sampling, cl_model,
                      shareds, supports_dev, W, state, t_nich, t_quad,
-                     t_idx, seed):
+                     t_idx, seed, noise=None):
     """Score + sample + stats for ONE tile against the current (already
     tile-removed) state via the fused kernel.  Returns (new_assign [B],
     counts_delta [C], per-block raw sums) — sums in build_stat_cache's
@@ -595,7 +600,8 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
         pk.fused_mixed_score_sample_stats(
             seed, t_nich, t_idx, cl_scores, coeffs, tables,
             col_groups, block_rows=block_rows, sampling=sampling,
-            qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups)
+            qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups,
+            noise=noise)
 
     # counts delta: the ones-column of whichever stat family is present
     # (nich [1|v|v^2] sums; quad [1|v|vv^T] sums; or a count table's
@@ -645,6 +651,8 @@ def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
     tiled_quad = quad_vals.reshape(n_blocks, block, -1)
     tiled_idx = table_idx.reshape(n_blocks, block, -1)
 
+    C = spec.capacity
+
     def one_sweep(carry, sweep_key):
         state, cache = carry
         cached_cd, cached_sums = cache
@@ -653,15 +661,22 @@ def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
             lambda k: jax.random.key_data(k)[-1].astype(jnp.int32))(keys)
 
         def step(state, inp):
-            t_nich, t_quad, t_idx, cd, sums, seed = inp
+            t_nich, t_quad, t_idx, cd, sums, seed, key = inp
             tiles = mx.sums_to_tiles(spec, shareds, sums)
             state = mx.apply_stat_tiles(
                 spec, shareds, state, cd, tiles, -1, block)
 
+            if sampling.endswith('_host'):   # noise from the jax.random
+                noise = (jax.random.gumbel(key, (block, C), jnp.float32)
+                         if sampling.startswith('gumbel')
+                         else jax.random.uniform(key, (block, 1),
+                                                 jnp.float32))
+            else:
+                noise = None
             new_assign, new_cd, new_sums = _fused_tile_core(
                 spec, nich_blocks, quad_blocks, table_blocks, quad_groups,
                 V, block_rows, sampling, cl_model, shareds, supports_dev,
-                W, state, t_nich, t_quad, t_idx, seed)
+                W, state, t_nich, t_quad, t_idx, seed, noise=noise)
 
             tiles = mx.sums_to_tiles(spec, shareds, new_sums)
             state = mx.apply_stat_tiles(
@@ -671,7 +686,7 @@ def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
         state, (new_tiled, out_cd, out_sums) = lax.scan(
             step, state,
             (tiled_nich, tiled_quad, tiled_idx, cached_cd, cached_sums,
-             seeds))
+             seeds, keys))
         return (state, (out_cd, out_sums)), new_tiled
 
     (state, cache), tiled = lax.scan(

@@ -284,3 +284,85 @@ def test_mixed_fused_multi_sweep_and_tiles():
     fresh = gibbs.build_stat_cache(spec, shareds, values, 256, an)
     np.testing.assert_array_equal(np.asarray(cache2[0]),
                                   np.asarray(fresh[0]))
+
+
+# ---------------------------------------------------------------------------
+# Host-noise sampling variants ('cdf_host' / 'gumbel_host'): pltpu.prng_seed
+# has no interpret-mode lowering, so these take jax.random-generated noise
+# as a kernel operand — giving the sampling paths CI-grade statistical
+# coverage off-hardware (previously TPU-only, tests/test_tpu_pallas.py).
+
+def _host_sampling_draws(sampling, key, R=4096, C=128):
+    """R iid kernel draws from ONE categorical: identical rows scored
+    against a fixed populated state, sampled with host noise."""
+    from distributions_tpu.ops import pallas_kernels as pk
+    from distributions_tpu import clustering as cl_mod
+
+    spec, shareds, values, assignments = _mixed_problem(R=R, C=C)
+    # every row identical -> every row samples the same distribution
+    values = tuple(jnp.broadcast_to(v[:1], v.shape) for v in values)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+
+    (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
+     quad_vals, table_idx, supports_dev) = gibbs._mixed_static_layout(
+        spec, values, None)
+    coeffs, qcoeffs, tables = gibbs._build_fused_inputs(
+        spec, nich_blocks, quad_blocks, table_blocks, V, shareds,
+        supports_dev, state)
+    cl_scores = cl_mod.score_value(
+        PY, state.counts, state.alive, state.sample_size)
+    col_groups = tuple(spec.blocks[i].cols for i in nich_blocks)
+
+    noise = (jax.random.gumbel(key, (R, C), jnp.float32)
+             if sampling.startswith('gumbel')
+             else jax.random.uniform(key, (R, 1), jnp.float32))
+    an, _, _, _ = pk.fused_mixed_score_sample_stats(
+        0, nich_vals, table_idx, cl_scores, coeffs, tables, col_groups,
+        block_rows=128, sampling=sampling, qvalues=quad_vals,
+        qcoeffs=qcoeffs, quad_groups=quad_groups, noise=noise)
+
+    scores = np.asarray(
+        mx.score_batch(spec, PY, shareds, state, values))[0]  # [C]
+    return np.asarray(an), scores
+
+
+@pytest.mark.parametrize('sampling', ['cdf_host', 'gumbel_host'])
+def test_fused_host_sampling_statistics(sampling):
+    from distributions_tpu import util
+    an, scores = _host_sampling_draws(sampling, jax.random.PRNGKey(7))
+    probs = util.scores_to_probs(scores)
+    probs_dict = {k: float(p) for k, p in enumerate(probs)}
+    gof = util.discrete_goodness_of_fit(an.tolist(), probs_dict)
+    assert gof > 1e-3, '%s sampling gof = %.3g' % (sampling, gof)
+
+
+def test_fused_host_sampling_reproducible():
+    an1, _ = _host_sampling_draws('cdf_host', jax.random.PRNGKey(3), R=512)
+    an2, _ = _host_sampling_draws('cdf_host', jax.random.PRNGKey(3), R=512)
+    an3, _ = _host_sampling_draws('cdf_host', jax.random.PRNGKey(4), R=512)
+    np.testing.assert_array_equal(an1, an2)
+    assert (an1 != an3).any()
+
+
+def test_fused_host_sampling_sweep_end_to_end():
+    """Full fused sweeps with 'cdf_host' sampling (the gibbs driver
+    generates per-tile noise from the sweep key): state stays valid and
+    the data fit improves on easy data."""
+    from distributions_tpu import debug
+    spec, shareds, values, _ = _mixed_problem(R=512)
+    # random init (not the true labels): the sampler must find structure
+    assignments = jax.random.randint(
+        jax.random.PRNGKey(9), (512,), 0, 16, dtype=jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+    cache = gibbs.build_stat_cache(spec, shareds, values, 256, assignments)
+    s0 = float(mx.score_data(spec, PY, shareds, state))
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        state, assignments, cache = gibbs.sweep_blocked_pallas_fused_mixed(
+            spec, PY, shareds, state, values, assignments, 256, 128, sub,
+            cache, sampling='cdf_host')
+    debug.validate_state(spec, state)
+    debug.validate_assignments(spec, state, assignments)
+    s1 = float(mx.score_data(spec, PY, shareds, state))
+    assert np.isfinite(s1) and s1 > s0, (s0, s1)

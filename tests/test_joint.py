@@ -23,8 +23,9 @@ SKIP = 20
 SAMPLE_COUNT = 500
 MIN_GOODNESS_OF_FIT = 1e-3
 
-# continuous/fixed-shape models whose sampler chain scans cleanly
-JOINT_MODELS = ['bb', 'gp', 'nich', 'bnb', 'dd']
+# every model family: dpd runs on a realized (fixed-support) Shared so the
+# chain is fixed-shape; niw's matrix-valued suff stats ravel per component
+JOINT_MODELS = ['bb', 'gp', 'nich', 'bnb', 'dd', 'dpd', 'niw']
 
 
 def _marginal_conditional(module, shared, key):

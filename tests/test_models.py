@@ -340,7 +340,24 @@ def test_sample_value_gof(name, example_idx):
                 module.score_value(shared, group, samples)))
             gof = util.density_goodness_of_fit(samples_np, probs)
         else:
-            pytest.skip('gof not implemented for {}'.format(module.Value))
+            # multivariate (niw): Mahalanobis GoF.  Under the MVT
+            # predictive with dof nu_n - d + 1, location mu_n and shape
+            # Sigma_n (the same parameters score_value uses),
+            # (x - mu)' Sigma^{-1} (x - mu) / d ~ F(d, dof); the F-cdf
+            # maps samples to uniforms (reference covers every model's
+            # sampler this way, test_models.py:373-419 — niw was the gap).
+            import scipy.stats
+            post = module.plus_group(shared, group)
+            d = samples_np.shape[-1]
+            dof = float(np.asarray(post.nu).ravel()[0]) - d + 1.0
+            kappa = float(np.asarray(post.kappa).ravel()[0])
+            mu = np.asarray(post.mu, np.float64).reshape(d)
+            sigma = (np.asarray(post.psi, np.float64).reshape(d, d)
+                     * (kappa + 1.0) / (kappa * dof))
+            diff = samples_np.astype(np.float64) - mu
+            maha = np.einsum('nd,de,ne->n', diff, np.linalg.inv(sigma), diff)
+            u = scipy.stats.f.cdf(maha / d, d, dof)
+            gof = util.unif01_goodness_of_fit(u)
         assert gof > MIN_GOODNESS_OF_FIT, '{} gof = {:.3g}'.format(name, gof)
 
 
