@@ -234,7 +234,8 @@ def make_component_mesh(devices=None):
 
 
 def sharded_sweep_components(spec, cl_model, shareds, state, values,
-                             assignments, key, mesh, block):
+                             assignments, key, mesh, block,
+                             sampling='gumbel'):
     """Blocked sweep with the COMPONENT axis sharded over the mesh (the
     tensor-parallel analog): each device owns a contiguous slot range
     [d*C_local, (d+1)*C_local), holding that range's counts and feature
@@ -249,6 +250,17 @@ def sharded_sweep_components(spec, cl_model, shareds, state, values,
 
     Clustering scores need the global nonempty/empty counts: two scalar
     psums.  spec.capacity must be divisible by the mesh size.
+
+    sampling: 'gumbel' (default) or 'argmax' (deterministic; exists to pin
+    cross-shard equality against the single-device sweep in CI).  Equality
+    caveats vs the unsharded sweep: (a) `spec.empties` empty slots are
+    reserved PER SHARD, so the global empty count is n_dev * empties and
+    the clustering empty mass splits over more slots — argmax equality
+    holds whenever no empty slot wins; (b) exact cross-shard score ties
+    resolve to the largest slot id (single-device argmax picks the
+    smallest) — measure-zero for real-valued scores; (c) in 'gumbel' mode
+    the noise stream is per-shard (fold_in), equal to the single-device
+    sweep in distribution, not bitwise.
     """
     assert isinstance(cl_model, _clustering.PitmanYor), (
         'component-sharded sweeps support the PitmanYor prior')
@@ -348,10 +360,13 @@ def sharded_sweep_components(spec, cl_model, shareds, state, values,
                     state.alive[None, :],
                     mx._block_score_batch(b, shared, group, v), 0.0)
 
-            # local gumbel-perturbed max -> global argmax via one pmax
-            gkey = jax.random.fold_in(step_key, shard)
-            gumbel = jax.random.gumbel(gkey, scores.shape)
-            total = scores + gumbel
+            # local (optionally gumbel-perturbed) max -> global argmax
+            # via one pmax
+            if sampling == 'argmax':
+                total = scores
+            else:
+                gkey = jax.random.fold_in(step_key, shard)
+                total = scores + jax.random.gumbel(gkey, scores.shape)
             local_best = jnp.max(total, axis=1)                  # [B]
             local_arg = base + jnp.argmax(total, axis=1)         # [B]
             global_best = lax.pmax(local_best, COMPONENTS)

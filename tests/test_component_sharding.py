@@ -58,3 +58,40 @@ def test_component_sharded_matches_counts_invariants():
     counts = np.asarray(state2.counts).reshape(8, -1)
     assert ((alive & (counts == 0)).sum(axis=1) >= 1).all()
     assert int(state2.sample_size) == 64
+
+
+def test_component_sharded_argmax_matches_single_device():
+    """Deterministic argmax equality: the 1-D component-sharded sweep must
+    produce exactly the single-device argmax sweep's assignments and
+    counts (sharding.py documents the two caveats — per-shard reserved
+    empties and cross-shard tie order — neither binds here: clusters are
+    well-separated, alpha=0.1 disfavors empty slots, and no two slots tie)."""
+    py = clustering.PitmanYor.from_dict({'alpha': 0.1, 'd': 0.0})
+    spec, shareds, values, assignments, _ = make_problem(seed=5)
+    mesh = sharding.make_component_mesh()
+    state = mx.state_from_assignments(spec, py, shareds, values, assignments)
+
+    block = 16
+    st_s, an_s = sharding.sharded_sweep_components(
+        spec, py, shareds, state, values, assignments,
+        jax.random.PRNGKey(0), mesh, block, sampling='argmax')
+
+    # single-device reference: per-tile remove -> score -> argmax -> add
+    st_1 = state
+    an_np = np.asarray(assignments).copy()
+    R = an_np.shape[0]
+    for t0 in range(0, R, block):
+        sl = slice(t0, t0 + block)
+        t_vals = tuple(v[sl] for v in values)
+        t_an = jnp.asarray(an_np[sl])
+        st_1 = mx.remove_tile(spec, py, shareds, st_1, t_vals, t_an)
+        scores = mx.score_batch(spec, py, shareds, st_1, t_vals)
+        new = np.asarray(jnp.argmax(scores, axis=1).astype(jnp.int32))
+        st_1 = mx.add_tile(spec, py, shareds, st_1, t_vals,
+                           jnp.asarray(new))
+        an_np[sl] = new
+
+    assert (np.asarray(an_s) == an_np).all(), (
+        np.asarray(an_s).tolist(), an_np.tolist())
+    np.testing.assert_array_equal(np.asarray(st_s.counts),
+                                  np.asarray(st_1.counts))
