@@ -79,7 +79,10 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     cache = None
 
     for sweep in range(start_pass, passes):
-        if mx.needs_growth(spec, state, grow_headroom):
+        # capacity growth needs host-addressable state; in multi-host runs
+        # (global arrays) pre-size the capacity instead
+        if (getattr(state.counts, 'is_fully_addressable', True)
+                and mx.needs_growth(spec, state, grow_headroom)):
             spec, state = mx.grow_capacity(spec, state, 2 * spec.capacity)
             cache = None
         br = pk.auto_block_rows(spec.capacity, min(block_rows, block),
@@ -114,20 +117,45 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             state, assignments = gibbs.sweep_blocked(
                 spec, cl_model, shareds, state, values, assignments, block,
                 key=sub)
-        np.asarray(assignments)  # sync (axon block_until_ready is a no-op)
+        if getattr(assignments, 'is_fully_addressable', True):
+            np.asarray(assignments)  # sync (axon block_until_ready no-op)
+        else:
+            jax.block_until_ready(assignments)  # multi-host global array
         dt = time.time() - t0
 
-        debug.validate_state(spec, state)
-        debug.validate_assignments(spec, state, assignments)
-        stats = diagnostics.sweep_stats(spec, cl_model, shareds, state)
+        debug.validate_state(spec, _host_view(state))
+        if getattr(assignments, 'is_fully_addressable', True):
+            debug.validate_assignments(spec, state, assignments)
+        stats = diagnostics.sweep_stats(
+            spec, cl_model, shareds, _host_view(state))
         stats['seconds'] = round(dt, 4)
         logger.log(sweep, **stats)
 
         if checkpoint_path and (sweep + 1) % checkpoint_every == 0:
-            checkpoint.save(checkpoint_path, state,
-                            assignments=assignments, key=key)
+            _save(checkpoint_path, state, assignments, key)
 
     if checkpoint_path:
-        checkpoint.save(checkpoint_path, state, assignments=assignments,
-                        key=key)
+        _save(checkpoint_path, state, assignments, key)
     return state, assignments, logger
+
+
+def _host_view(state):
+    """Host-local view of a (replicated) mixture state — multi-host global
+    arrays are not fully addressable, so validation/diagnostics read the
+    local shard of each replicated leaf."""
+    import jax as _jax
+
+    def leaf(a):
+        if getattr(a, 'is_fully_addressable', True):
+            return a
+        return _jax.device_get(a.addressable_shards[0].data)
+    return _jax.tree_util.tree_map(leaf, state)
+
+
+def _save(path, state, assignments, key):
+    """Checkpoint; in multi-host mode rows are gathered and process 0
+    writes (the state is replicated, so host 0's view is the state)."""
+    from distributions_tpu.parallel import distributed
+    an = distributed.gather_rows(assignments)
+    if jax.process_index() == 0:
+        checkpoint.save(path, _host_view(state), assignments=an, key=key)
