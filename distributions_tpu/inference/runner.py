@@ -50,11 +50,12 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     start_pass = 0
 
     if resume and checkpoint_path and os.path.exists(checkpoint_path):
-        state, assignments, saved_key = checkpoint.load(
-            checkpoint_path, spec, shareds)
+        state, assignments, saved_key, start_pass, rows = \
+            checkpoint.load_extended(checkpoint_path, spec, shareds)
         if saved_key is not None:
             key = saved_key
-        start_pass = int(logger.rows[-1]['sweep']) + 1 if logger.rows else 0
+        if rows and not logger.rows:
+            logger.rows = rows
     else:
         state = mx.init(spec, shareds)
         key, sub = jax.random.split(key)
@@ -132,10 +133,11 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         logger.log(sweep, **stats)
 
         if checkpoint_path and (sweep + 1) % checkpoint_every == 0:
-            _save(checkpoint_path, state, assignments, key)
+            _save(checkpoint_path, state, assignments, key, sweep + 1,
+                  logger)
 
     if checkpoint_path:
-        _save(checkpoint_path, state, assignments, key)
+        _save(checkpoint_path, state, assignments, key, passes, logger)
     return state, assignments, logger
 
 
@@ -152,10 +154,11 @@ def _host_view(state):
     return _jax.tree_util.tree_map(leaf, state)
 
 
-def _save(path, state, assignments, key):
+def _save(path, state, assignments, key, sweep, logger):
     """Checkpoint; in multi-host mode rows are gathered and process 0
     writes (the state is replicated, so host 0's view is the state)."""
     from distributions_tpu.parallel import distributed
     an = distributed.gather_rows(assignments)
     if jax.process_index() == 0:
-        checkpoint.save(path, _host_view(state), assignments=an, key=key)
+        checkpoint.save(path, _host_view(state), assignments=an, key=key,
+                        sweep=sweep, logger_rows=logger.rows)

@@ -137,3 +137,35 @@ def test_checkpoint_roundtrip(tmpfile):
     s1 = float(mx.score_data(spec, cl, shareds, state))
     s2 = float(mx.score_data(spec, cl, shareds, state2))
     assert s1 == s2
+
+
+def test_checkpoint_reads_legacy_per_element_format(tmp_path):
+    """Round-1 checkpoints encoded counts/alive/assignments as repeated
+    proto scalars (fields 1/2/6); the loader still reads them."""
+    import jax
+    from distributions_tpu import clustering, mixture as mx
+    from distributions_tpu.models import nich
+    from distributions_tpu.io import checkpoint, schema_pb2
+    from distributions_tpu.io.stream import protobuf_stream_dump
+
+    spec = mx.make_spec([(nich, 1)], capacity=8, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 1., 'sigmasq': 1., 'nu': 1.}),)
+    state = mx.init(spec, shareds)
+
+    msg = schema_pb2.MixtureCheckpoint()
+    msg.counts.extend(int(c) for c in np.asarray(state.counts))
+    msg.alive.extend(bool(a) for a in np.asarray(state.alive))
+    msg.sample_size = 0
+    for group in state.groups:
+        msg.feature_blocks.append(checkpoint._pack_tree(group))
+    msg.assignments.extend([0, 1, 1, 0])
+    path = str(tmp_path / 'legacy.ckpt')
+    protobuf_stream_dump([msg.SerializeToString()], path)
+
+    st2, an2, key2, sweep2, rows2 = checkpoint.load_extended(
+        path, spec, shareds)
+    np.testing.assert_array_equal(np.asarray(an2), [0, 1, 1, 0])
+    np.testing.assert_array_equal(np.asarray(st2.counts),
+                                  np.asarray(state.counts))
+    assert key2 is None and sweep2 == 0 and rows2 == []
