@@ -51,6 +51,33 @@ def json_load(filename):
         return json.load(f)
 
 
+def json_costream_dump(filename, **kwargs):
+    """Coroutine variant of json_stream_dump: send() items in as they are
+    produced (reference io/stream.py:85-100); the file stays wire-
+    compatible with json_stream_load.  Prime with next() before sending;
+    close() finalizes the container.
+
+        co = json_costream_dump('out.json.gz')
+        next(co)
+        co.send({'a': 1})
+        co.close()
+    """
+    kwargs['separators'] = (',', ':')
+    with open_compressed(filename, 'w') as f:
+        f.write('[')
+        try:
+            item = (yield)
+            f.write('\n')
+            json.dump(item, f, **kwargs)
+            while True:
+                item = (yield)
+                f.write(',\n')
+                json.dump(item, f, **kwargs)
+        except GeneratorExit:
+            pass
+        f.write('\n]')
+
+
 def json_stream_dump(stream, filename, **kwargs):
     kwargs['separators'] = (',', ':')
     stream = iter(stream)

@@ -169,3 +169,31 @@ def test_checkpoint_reads_legacy_per_element_format(tmp_path):
     np.testing.assert_array_equal(np.asarray(st2.counts),
                                   np.asarray(state.counts))
     assert key2 is None and sweep2 == 0 and rows2 == []
+
+
+def test_json_costream_dump_roundtrip(tmp_path):
+    from distributions_tpu.io.stream import (
+        json_costream_dump, json_stream_load)
+    path = str(tmp_path / 'co.json.gz')
+    co = json_costream_dump(path)
+    next(co)
+    items = [{'a': 1}, [2, 3], 'four']
+    for item in items:
+        co.send(item)
+    co.close()
+    assert list(json_stream_load(path)) == items
+
+
+def test_fileutil_tempdir_and_chdir():
+    import os
+    from distributions_tpu import fileutil
+    start = os.getcwd()
+    with fileutil.tempdir() as wd:
+        assert os.getcwd() == os.path.realpath(wd) or os.getcwd() == wd
+        with open('x.txt', 'w') as f:
+            f.write('hi')
+    assert os.getcwd() == start
+    assert not os.path.exists(wd)
+    with fileutil.chdir('/tmp'):
+        assert os.getcwd() == '/tmp' or os.getcwd().endswith('tmp')
+    assert os.getcwd() == start
