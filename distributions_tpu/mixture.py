@@ -196,7 +196,14 @@ def score_value(spec, cl_model, shareds, state, values_row):
 def add_value(spec, cl_model, shareds, state, groupid, values_row):
     """Assign a row to slot `groupid`; births a replacement empty slot when
     an empty slot is occupied (driver/slave lockstep of
-    doc/overview.rst:185-204 collapsed into one function)."""
+    doc/overview.rst:185-204 collapsed into one function).
+
+    MIGRATION NOTE: this is the eager compat path for single rows —
+    correct, but it rebuilds per-slot group batches per call, so the
+    reference's per-row python loop idiom (remove/score/sample/add per
+    row) runs 100-1000x slower here than the batched sweeps.  Port hot
+    loops to ops/gibbs.sweep_blocked / sweep_blocked_pallas_fused_mixed
+    (or lax.scan sweep_sequential for exact per-row semantics)."""
     was_empty = state.counts[groupid] == 0
     counts = state.counts.at[groupid].add(1)
     # activate the first dead slot if a reserved empty was just occupied

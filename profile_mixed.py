@@ -1,7 +1,8 @@
 """Time the v3/v4 fused MIXED sweep on TPU for a chosen spec.
 
-    SPEC=nich2|gp1|bbddgp|niw2|niw2mix [ROWS=.. COMPONENTS=.. BLOCK=..
-    BR=.. FUSE=.. SAMPLING=cdf] python profile_mixed.py
+    SPEC=nich1|nich2|bb1|dd1|dpd1|gp1|bnb1|bbddgp|niw2|niw2mix
+    [ROWS=.. COMPONENTS=.. BLOCK=.. BR=.. FUSE=.. SAMPLING=cdf]
+    python profile_mixed.py
 
 One jit signature per invocation (remote compiles are slow; NOTES.md).
 """
@@ -30,14 +31,38 @@ CALLS = int(os.environ.get('CALLS', 3))
 rng = np.random.RandomState(0)
 labels = rng.randint(0, C - 8, R)
 
-if SPEC == 'nich2':
-    spec = mx.make_spec([(nich, 2)], capacity=C, empties=1)
+if SPEC in ('nich1', 'nich2'):
+    cols = int(SPEC[-1])
+    spec = mx.make_spec([(nich, cols)], capacity=C, empties=1)
     shareds = (nich.shared_from_dict(
         {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
-    centers = rng.randn(C - 8, 2).astype(np.float32)
-    values = (jnp.asarray(centers[labels] + 0.1 * rng.randn(R, 2),
+    centers = rng.randn(C - 8, cols).astype(np.float32)
+    values = (jnp.asarray(centers[labels] + 0.1 * rng.randn(R, cols),
                           jnp.float32),)
-    feat_cells = 2
+    feat_cells = cols
+elif SPEC == 'bb1':
+    spec = mx.make_spec([(bb_mod, 1)], capacity=C, empties=1)
+    shareds = (bb_mod.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),)
+    values = (jnp.asarray((rng.rand(R) < 0.4)[:, None]),)
+    feat_cells = 1
+elif SPEC == 'dd1':
+    spec = mx.make_spec([(dd_mod, 1)], capacity=C, empties=1)
+    shareds = (dd_mod.shared_from_dict(
+        {'alphas': [1.0, 0.5, 2.0, 1.5, 0.3, 0.8, 1.2, 0.6]}),)
+    values = (jnp.asarray(rng.randint(0, 8, (R, 1)), jnp.int32),)
+    feat_cells = 1
+elif SPEC == 'dpd1':
+    from distributions_tpu.models import dpd as dpd_mod
+    spec = mx.make_spec([(dpd_mod, 1)], capacity=C, empties=1)
+    sh = dpd_mod.shared_from_dict(
+        {'gamma': 1.0, 'alpha': 1.0, 'betas': {}}, cap=64)
+    dkey = jax.random.PRNGKey(7)
+    for v in range(32):                # realize sticks for values 0..31
+        dkey, sub = jax.random.split(dkey)
+        sh = dpd_mod.shared_add_value(sub, sh, v)
+    shareds = (sh,)
+    values = (jnp.asarray(rng.randint(0, 32, (R, 1)), jnp.int32),)
+    feat_cells = 1
 elif SPEC == 'gp1':
     spec = mx.make_spec([(gp_mod, 1)], capacity=C, empties=1)
     shareds = (gp_mod.shared_from_dict({'alpha': 2.0, 'inv_beta': 1.0}),)
