@@ -99,9 +99,24 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         t0 = time.time()
         if mesh is not None:
             from distributions_tpu.parallel import sharding
-            state, assignments = sharding.sharded_sweep_blocked(
-                spec, cl_model, shareds, state, values, assignments, sub,
-                mesh, block)
+            n_dev = mesh.devices.size
+            R = int(assignments.shape[0])
+            # fused per-shard kernel when the spec and tiling allow it
+            # (same gate as single-device, with the per-device block)
+            if (fused_ok and len(mesh.axis_names) == 1
+                    and mesh.axis_names[0] == 'rows'
+                    and R % (n_dev * block) == 0):
+                if cache is None:
+                    cache = gibbs.build_stat_cache(
+                        spec, shareds, values, block, assignments)
+                state, assignments, cache = sharding.sharded_sweep_fused(
+                    spec, cl_model, shareds, state, values, assignments,
+                    sub, mesh, block, cache, block_rows=br,
+                    sampling=sampling)
+            else:
+                state, assignments = sharding.sharded_sweep_blocked(
+                    spec, cl_model, shareds, state, values, assignments,
+                    sub, mesh, block)
         elif fused_ok:
             if cache is None:
                 cache = gibbs.build_stat_cache(

@@ -186,23 +186,33 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
         def one_sweep(carry, sweep_key):
             state, cache = carry
             cached_cd, cached_sums = cache
-            seeds = jax.vmap(lambda t: jax.random.key_data(
-                jax.random.fold_in(sweep_key, t))[-1].astype(jnp.int32))(
-                    gtiles)
+            tile_keys = jax.vmap(
+                lambda t: jax.random.fold_in(sweep_key, t))(gtiles)
+            seeds = jax.vmap(lambda k: jax.random.key_data(k)[-1]
+                             .astype(jnp.int32))(tile_keys)
 
             def step(state, inp):
-                t_nich, t_quad, t_idx, cd, sums, seed = inp
+                t_nich, t_quad, t_idx, cd, sums, seed, tkey = inp
                 g_cd = lax.psum(cd, ROWS)
                 g_sums = lax.psum(sums, ROWS)
                 tiles = mx.sums_to_tiles(spec, shareds, g_sums)
                 state = mx.apply_stat_tiles(
                     spec, shareds, state, g_cd, tiles, -1, n_removed)
 
+                if sampling.endswith('_host'):  # noise per (sweep, gtile)
+                    noise = (
+                        jax.random.gumbel(
+                            tkey, (block, spec.capacity), jnp.float32)
+                        if sampling.startswith('gumbel')
+                        else jax.random.uniform(tkey, (block, 1),
+                                                jnp.float32))
+                else:
+                    noise = None
                 new_assign, new_cd, new_sums = _g._fused_tile_core(
                     spec, nich_blocks, quad_blocks, table_blocks,
                     quad_groups, V, block_rows, sampling, cl_model,
                     shareds, supports_dev, W, state, t_nich, t_quad,
-                    t_idx, seed)
+                    t_idx, seed, noise=noise)
 
                 g_cd = lax.psum(new_cd, ROWS)
                 g_sums = lax.psum(new_sums, ROWS)
@@ -214,7 +224,7 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
             state, (new_tiled, out_cd, out_sums) = lax.scan(
                 step, state,
                 (tiled_nich, tiled_quad, tiled_idx, cached_cd, cached_sums,
-                 seeds))
+                 seeds, tile_keys))
             return (state, (out_cd, out_sums)), new_tiled
 
         (state, cache), tiled = lax.scan(

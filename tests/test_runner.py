@@ -166,3 +166,62 @@ def test_checkpoint_scales_to_1m_rows(tmp_path):
     np.testing.assert_array_equal(np.asarray(an2), np.asarray(assignments))
     assert sweep2 == 7 and len(rows2) == 7
     assert dt_save < 2.0 and dt_load < 2.0, (dt_save, dt_load)
+
+
+def _mesh_problem(R, seed=0):
+    rng = np.random.RandomState(seed)
+    spec = mx.make_spec([(nich, 2)], capacity=128, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 1.0, 'nu': 1.}),)
+    centers = np.array([[-2., -2.], [2., 2.]])
+    labels = rng.randint(0, 2, R)
+    values = (jnp.asarray(
+        centers[labels] + 0.3 * rng.randn(R, 2), jnp.float32),)
+    return spec, shareds, values, labels
+
+
+def test_runner_mesh_fused_path(monkeypatch):
+    """use_pallas + mesh routes to the fused per-shard kernel when the
+    spec/tiling allow (sampling='cdf_host' is CPU-eligible)."""
+    from distributions_tpu.parallel import sharding
+    spec, shareds, values, labels = _mesh_problem(R=8192)
+    mesh = sharding.make_mesh()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1., 'd': .1})
+
+    calls = []
+    orig = sharding.sharded_sweep_fused
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+    monkeypatch.setattr(sharding, 'sharded_sweep_fused', spy)
+
+    state, an, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=6,
+        block=512, init='random:8', mesh=mesh, use_pallas=True,
+        sampling='cdf_host', grow_headroom=0.0)
+    assert len(calls) == 6, 'fused sharded path must engage'
+    assert len(log.rows) == 6
+    R = 8192
+    assert int(np.asarray(state.counts).sum()) == R
+    a = np.asarray(an)
+    purity = sum(np.bincount(labels[a == g]).max()
+                 for g in np.unique(a)) / R
+    assert purity > 0.95, purity
+
+
+def test_runner_mesh_xla_fallback():
+    """Tilings the kernel cannot take fall back to the XLA sharded sweep."""
+    from distributions_tpu.parallel import sharding
+    spec, shareds, values, labels = _mesh_problem(R=1024)
+    mesh = sharding.make_mesh()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1., 'd': .1})
+    state, an, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=8,
+        block=32, init='random:8', mesh=mesh, use_pallas=True,
+        sampling='cdf_host', grow_headroom=0.0)
+    assert len(log.rows) == 8
+    a = np.asarray(an)
+    purity = sum(np.bincount(labels[a == g]).max()
+                 for g in np.unique(a)) / 1024
+    assert purity > 0.95, purity
