@@ -385,3 +385,42 @@ def test_sample_group_gof(name, example_idx):
                 float(module.score_data(shared, group)))
     gof = util.discrete_goodness_of_fit(samples, probs_dict)
     assert gof > MIN_GOODNESS_OF_FIT, '{} gof = {:.3g}'.format(name, gof)
+
+
+def test_nich_per_column_shareds():
+    """Per-column hyperparameters within one nich block: leaves shaped
+    [cols] broadcast through groups, scoring, and the fused coefficient
+    path; a block mixing distinct nu values is rejected by the fused
+    coeffs (the product form takes one log per block) with a pointer to
+    cols=1 blocks."""
+    from distributions_tpu.models import nich
+    from distributions_tpu.ops import pallas_kernels as pk
+
+    sh = nich.Shared(mu=jnp.asarray([0.0, 5.0]),
+                     kappa=jnp.asarray([1.0, 0.1]),
+                     sigmasq=jnp.asarray([1.0, 4.0]),
+                     nu=jnp.asarray([1.0, 1.0]))
+    vals = jnp.asarray(np.random.RandomState(0).randn(10, 2), jnp.float32)
+    g = nich.from_values_grouped(sh, vals, jnp.zeros(10, jnp.int32), 4)
+
+    combined = np.asarray(nich.score_value(sh, g, vals[0])).sum(-1)
+    parts = []
+    for j, (mu, ka, sg) in enumerate([(0., 1., 1.), (5., .1, 4.)]):
+        shj = nich.shared_from_dict(
+            {'mu': mu, 'kappa': ka, 'sigmasq': sg, 'nu': 1.})
+        gj = nich.from_values_grouped(
+            shj, vals[:, j:j + 1], jnp.zeros(10, jnp.int32), 4)
+        parts.append(np.asarray(
+            nich.score_value(shj, gj, vals[0, j:j + 1])).sum(-1))
+    np.testing.assert_allclose(combined, parts[0] + parts[1],
+                               rtol=1e-5, atol=1e-5)
+
+    # fused coeffs accept column-constant nu ...
+    co = pk.nich_coeffs_v2(sh, g)
+    assert co.shape[0] == 2 + 2 * 2
+    # ... and reject distinct per-column nu
+    sh_bad = sh._replace(nu=jnp.asarray([1.0, 2.0]))
+    g_bad = nich.from_values_grouped(
+        sh_bad, vals, jnp.zeros(10, jnp.int32), 4)
+    with pytest.raises(ValueError, match='column-constant nu'):
+        pk.nich_coeffs_v2(sh_bad, g_bad)
