@@ -117,3 +117,78 @@ def test_blocked_sweep_block2_near_stationary(posterior):
     emp = empirical(trace)
     tv = total_variation(emp, posterior)
     assert tv < 0.35, (tv, emp, posterior)
+
+
+# ---------------------------------------------------------------------------
+# Per-model-family stationarity: the same exact-posterior check for each
+# likelihood the BASELINE validation configs name (gamma-Poisson, DPD,
+# nich, niw) — the sequential sweep must target the enumerated posterior
+# regardless of the feature model.
+
+def _family_problem(name):
+    from distributions_tpu.models import gp, nich, dpd, niw
+    if name == 'gp':
+        shareds = (gp.shared_from_dict({'alpha': 2.0, 'inv_beta': 1.0}),)
+        values = (jnp.asarray([[0], [1], [5], [6]], jnp.int32),)
+        spec = mx.make_spec([(gp, 1)], capacity=C, empties=1)
+    elif name == 'nich':
+        shareds = (nich.shared_from_dict(
+            {'mu': 0., 'kappa': 1., 'sigmasq': 1., 'nu': 1.}),)
+        values = (jnp.asarray([[-1.0], [-0.8], [1.2], [1.0]], jnp.float32),)
+        spec = mx.make_spec([(nich, 1)], capacity=C, empties=1)
+    elif name == 'dpd':
+        sh = dpd.shared_from_dict(
+            {'gamma': 1.0, 'alpha': 1.0, 'betas': {}}, cap=8)
+        key = jax.random.PRNGKey(11)
+        for v in range(3):
+            key, sub = jax.random.split(key)
+            sh = dpd.shared_add_value(sub, sh, v)
+        shareds = (sh,)
+        values = (jnp.asarray([[0], [0], [1], [2]], jnp.int32),)
+        spec = mx.make_spec([(dpd, 1)], capacity=C, empties=1)
+    elif name == 'niw':
+        shareds = (niw.shared_from_dict(
+            {'mu': np.zeros(2), 'kappa': 1.0, 'psi': np.eye(2),
+             'nu': 3.0}),)
+        values = (jnp.asarray(
+            [[[-1., -1.]], [[-0.8, -1.2]], [[1., 1.2]], [[0.9, 1.1]]],
+            jnp.float32),)
+        spec = mx.make_spec([(niw, 1)], capacity=C, empties=1)
+    else:
+        raise AssertionError(name)
+    return spec, shareds, values
+
+
+def _exact_posterior_for(spec, shareds, values):
+    probs = {}
+    for assign in product(range(R), repeat=R):
+        c = canonical(assign)
+        if c in probs:
+            continue
+        state = mx.state_from_assignments(
+            spec, PY, shareds, values, jnp.asarray(c, jnp.int32))
+        probs[c] = float(mx.score_data(spec, PY, shareds, state))
+    mx_score = max(probs.values())
+    total = sum(np.exp(s - mx_score) for s in probs.values())
+    return {c: np.exp(s - mx_score) / total for c, s in probs.items()}
+
+
+@pytest.mark.parametrize('name', ['gp', 'nich', 'dpd', 'niw'])
+def test_sequential_sweep_stationary_per_family(name):
+    spec, shareds, values = _family_problem(name)
+    posterior = _exact_posterior_for(spec, shareds, values)
+
+    assignments = jnp.zeros(R, jnp.int32)
+    state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
+
+    def step(carry, key):
+        st, an = carry
+        st, an = gibbs.sweep_sequential(spec, PY, shareds, st, values, an,
+                                        key)
+        return (st, an), an
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 4200)
+    (_, _), trace = lax.scan(step, (state, assignments), keys)
+    emp = empirical(np.asarray(trace))
+    tv = total_variation(emp, posterior)
+    assert tv < 0.05, (name, tv, emp, posterior)
