@@ -520,6 +520,18 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
      quad_vals, table_idx, supports_dev) = _mixed_static_layout(
         spec, values, supports)
 
+    # validate the column-constant-nu restriction of the product-form nich
+    # block HERE, where shareds are still concrete (nich_coeffs_v2 runs
+    # under jit tracing and cannot inspect values)
+    import numpy as np
+    for i in nich_blocks:
+        nu = np.asarray(shareds[i].nu)
+        if nu.ndim > 0 and nu.size > 1 and not (nu == nu.flat[0]).all():
+            raise ValueError(
+                'fused nich block %d requires column-constant nu (got %r); '
+                'put columns with distinct nu in separate cols=1 blocks'
+                % (i, nu))
+
     # per-block [V, S] stat matrices (f32, rows beyond the support zero)
     W = []
     for i, b in enumerate(spec.blocks):
