@@ -325,3 +325,92 @@ def test_hp_py_sampler_matches_scorer_gof():
     gof = multinomial_goodness_of_fit(
         probs / probs.sum(), counts, n_samples)
     assert gof > 1e-3, gof
+
+
+# -- mixture-level agreement --------------------------------------------------
+
+def _hp_mixture_scores(cl_hp, hp_mods, hp_shareds, hp_groups, counts, alive,
+                       empties_alive, rows):
+    """Naive hp scorer for a full mixture state: clustering seating score
+    per alive slot (empty mass split across alive empties) + sum of
+    per-feature predictives; dead slots -inf.  This re-implements
+    mixture.score_batch from scalar hp calls."""
+    n = int(sum(counts))
+    nonempty = int(sum(1 for c in counts if c > 0))
+    C = len(counts)
+    out = np.full((len(rows), C), -np.inf)
+    for b, row in enumerate(rows):
+        for k in range(C):
+            if not alive[k]:
+                continue
+            s = cl_hp.score_add_value(int(counts[k]), nonempty, n,
+                                      max(empties_alive, 1))
+            for mod, shared, groups, v in zip(
+                    hp_mods, hp_shareds, hp_groups, row):
+                s += mod.score_value(shared, groups[k], v)
+            out[b, k] = s
+    return out
+
+
+@pytest.mark.parametrize('prior', ['py', 'le'])
+def test_mixture_score_batch_agrees_with_hp(prior):
+    """Core mixture.score_batch (masked fixed-capacity arithmetic, batched
+    feature blocks, empty-slot mass splitting) against a naive scalar hp
+    reconstruction of the same state."""
+    from distributions_tpu import mixture as mx
+    from distributions_tpu.models import nich as core_nich, gp as core_gp
+    from distributions_tpu.hp.models import nich as hp_nich, gp as hp_gp
+
+    rng = np.random.RandomState(0)
+    R, C = 12, 8
+    x = rng.randn(R, 2).astype(np.float32)
+    y = rng.poisson(3.0, (R, 1)).astype(np.int32)
+    assignments = rng.randint(0, 4, R)
+
+    spec = mx.make_spec([(core_nich, 2), (core_gp, 1)], capacity=C,
+                        empties=2)
+    core_shareds = (
+        core_nich.shared_from_dict(
+            {'mu': 0., 'kappa': 1., 'sigmasq': 1., 'nu': 1.}),
+        core_gp.shared_from_dict({'alpha': 1., 'inv_beta': 1.}),
+    )
+    if prior == 'py':
+        cl_core = core_cl.PitmanYor.from_dict({'alpha': 1.5, 'd': 0.2})
+        cl_hp = hp_cl.PitmanYor(1.5, 0.2)
+    else:
+        cl_core = core_cl.LowEntropy.from_dict({'dataset_size': 100})
+        cl_hp = hp_cl.LowEntropy(100)
+    state = mx.state_from_assignments(
+        spec, cl_core, core_shareds, (x, y), assignments)
+    core_scores = np.asarray(mx.score_batch(
+        spec, cl_core, core_shareds, state, (x, y)))
+
+    # hp reconstruction of the same state
+    hp_shareds = (
+        hp_nich.shared_from_dict(
+            {'mu': 0., 'kappa': 1., 'sigmasq': 1., 'nu': 1.}),
+        hp_gp.shared_from_dict({'alpha': 1., 'inv_beta': 1.}),
+    )
+    counts = np.asarray(state.counts)
+    alive = np.asarray(state.alive)
+    # groups per (feature column, slot); a nich block with 2 cols is two
+    # independent scalar features in hp terms
+    feature_values = [x[:, 0], x[:, 1], y[:, 0]]
+    hp_mods = [hp_nich, hp_nich, hp_gp]
+    hp_col_shareds = [hp_shareds[0], hp_shareds[0], hp_shareds[1]]
+    hp_groups = []
+    for mod, shared, vals in zip(hp_mods, hp_col_shareds, feature_values):
+        groups = [mod.group_init(shared) for _ in range(C)]
+        for v, a in zip(vals, assignments):
+            groups[a] = mod.add_value(shared, groups[a], v)
+        hp_groups.append(groups)
+    rows = [[x[b, 0], x[b, 1], int(y[b, 0])] for b in range(R)]
+    empties_alive = int(np.sum(alive & (counts == 0)))
+    hp_scores = _hp_mixture_scores(
+        cl_hp, hp_mods, hp_col_shareds, hp_groups, counts, alive,
+        empties_alive, rows)
+
+    mask = np.isfinite(hp_scores)
+    assert (np.isfinite(core_scores) == mask).all()
+    np.testing.assert_allclose(core_scores[mask], hp_scores[mask],
+                               rtol=2e-3, atol=2e-3)
