@@ -13,16 +13,19 @@ import sys
 
 from distributions_tpu.models import MODULES
 
-# the reference's dbg/hp/lp flavors map onto execution modes of one core
+# the reference's dbg/lp flavors map onto execution modes of the JAX core;
+# hp is a separate independent float64 implementation (distributions_tpu.hp)
 MODES = ['eager', 'jit', 'batched']
 
 
 def modes_by_model():
-    """Print which execution modes support each model (the analog of the
-    reference's flavors_by_model; all models support all modes here)."""
+    """Print which execution modes / flavors support each model (the analog
+    of the reference's flavors_by_model)."""
+    from distributions_tpu.hp.models import MODULES as HP
     for name in sorted(MODULES):
         module = MODULES[name]
-        print('{} ({}): {}'.format(module.NAME, name, ' '.join(MODES)))
+        flavors = list(MODES) + (['hp'] if name in HP else [])
+        print('{} ({}): {}'.format(module.NAME, name, ' '.join(flavors)))
 
 
 def model_api(name):
