@@ -19,7 +19,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
               block=4096, checkpoint_path=None, checkpoint_every=10,
               resume=True, init='prior', use_pallas=False,
               grow_headroom=0.125, log=None, mesh=None, sampling='cdf',
-              block_rows=1024):
+              block_rows=1024, hyper_grids=None, cl_grid=None,
+              hyper_every=10, hyper_sample=True):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
 
     - resumes from `checkpoint_path` when it exists (bitwise-continuing the
@@ -35,6 +36,16 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     the scalable choice: both exact inits are R-step sequential scans,
     and the remote TPU compiler wedges on them for R ~ 1e6).
 
+    Hyperparameter resampling (the loom-style production loop the
+    reference's downstream systems run on top of score_data_grid,
+    reference dd.hpp:259-287): every `hyper_every` sweeps, each feature
+    block listed in `hyper_grids` ({block_idx: grid Shared pytree with a
+    leading [G] axis}) is resampled (or argmaxed, hyper_sample=False)
+    from its grid via inference.hypers.grid_step_feature, and the
+    clustering prior from `cl_grid` (a vmappable model pytree, e.g.
+    hypers.make_py_grid(...)).  Resampled hyperparameters are saved in
+    the checkpoint and restored on resume.
+
     Resume contract: the checkpoint carries the RNG key, sweep index,
     and logger rows, so a restart continues the *stream of sweep keys*
     bitwise.  The draws themselves are bitwise-identical only when the
@@ -44,7 +55,10 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     the given `sampling` mode, which is a *different RNG stream* than the
     non-fused gumbel path — equal in distribution, not bitwise.
 
-    Returns (state, assignments, logger).
+    Returns (state, assignments, logger).  Hyper-grid runs read the final
+    resampled hyperparameters from `logger.final_shareds` /
+    `logger.final_cl_model` (also recoverable from the checkpoint via
+    io.checkpoint.load_hypers).
     """
     logger = log or diagnostics.SweepLogger()
     start_pass = 0
@@ -56,6 +70,12 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             key = saved_key
         if rows and not logger.rows:
             logger.rows = rows
+        saved_shareds, saved_cl = checkpoint.load_hypers(
+            checkpoint_path, spec)
+        if saved_shareds is not None:
+            shareds = saved_shareds
+        if saved_cl is not None:
+            cl_model = saved_cl
     else:
         state = mx.init(spec, shareds)
         key, sub = jax.random.split(key)
@@ -145,14 +165,36 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         stats = diagnostics.sweep_stats(
             spec, cl_model, shareds, _host_view(state))
         stats['seconds'] = round(dt, 4)
+
+        if (hyper_grids or cl_grid is not None) \
+                and (sweep + 1) % hyper_every == 0:
+            from distributions_tpu.inference import hypers as _hypers
+            for block_idx, grid in (hyper_grids or {}).items():
+                key, sub = jax.random.split(key)
+                shareds, idx, _ = _hypers.grid_step_feature(
+                    sub, spec, block_idx, shareds, state, grid,
+                    sample=hyper_sample)
+                stats['hyper_%d' % block_idx] = int(idx)
+            if cl_grid is not None:
+                key, sub = jax.random.split(key)
+                cl_model, idx, _ = _hypers.grid_step_clustering(
+                    sub, cl_grid, state, sample=hyper_sample)
+                stats['hyper_cl'] = int(idx)
+            # shareds changed: the fused stat cache keys row stats off the
+            # shareds (dpd value tables); rebuild next sweep
+            cache = None
+
         logger.log(sweep, **stats)
 
         if checkpoint_path and (sweep + 1) % checkpoint_every == 0:
             _save(checkpoint_path, state, assignments, key, sweep + 1,
-                  logger)
+                  logger, spec=spec, shareds=shareds, cl_model=cl_model)
 
     if checkpoint_path:
-        _save(checkpoint_path, state, assignments, key, passes, logger)
+        _save(checkpoint_path, state, assignments, key, passes, logger,
+              spec=spec, shareds=shareds, cl_model=cl_model)
+    logger.final_shareds = shareds
+    logger.final_cl_model = cl_model
     return state, assignments, logger
 
 
@@ -169,11 +211,13 @@ def _host_view(state):
     return _jax.tree_util.tree_map(leaf, state)
 
 
-def _save(path, state, assignments, key, sweep, logger):
+def _save(path, state, assignments, key, sweep, logger, spec=None,
+          shareds=None, cl_model=None):
     """Checkpoint; in multi-host mode rows are gathered and process 0
     writes (the state is replicated, so host 0's view is the state)."""
     from distributions_tpu.parallel import distributed
     an = distributed.gather_rows(assignments)
     if jax.process_index() == 0:
         checkpoint.save(path, _host_view(state), assignments=an, key=key,
-                        sweep=sweep, logger_rows=logger.rows)
+                        sweep=sweep, logger_rows=logger.rows,
+                        shareds=shareds, cl_model=cl_model, spec=spec)

@@ -56,8 +56,62 @@ def _unpack_tree(data, like):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def _hypers_to_json(shareds, cl_model, spec):
+    """json blob for hyper-grid runs: the CURRENT shareds + clustering
+    model, so resume restores resampled hyperparameters (the spec's block
+    modules define the dict schemas)."""
+    from distributions_tpu import clustering as _cl
+
+    def default(o):
+        return o.tolist() if hasattr(o, 'tolist') else float(o)
+
+    dumped = []
+    for block, shared in zip(spec.blocks, shareds):
+        if hasattr(block.module, 'shared_to_state_dict'):
+            # dpd: slot-order-preserving form (group tables are
+            # slot-aligned; the sorted dict form would permute slots)
+            raw = block.module.shared_to_state_dict(shared)
+            raw['__state_dict__'] = True
+        else:
+            raw = block.module.shared_to_dict(shared)
+        dumped.append(raw)
+    blob = {'shareds': dumped}
+    if cl_model is not None:
+        blob['cl_kind'] = ('py' if isinstance(cl_model, _cl.PitmanYor)
+                           else 'le')
+        blob['cl'] = cl_model.to_dict()
+    return json.dumps(blob, default=default).encode()
+
+
+def _hypers_from_json(data, spec):
+    """(shareds tuple or None, cl_model or None) from the hypers blob."""
+    from distributions_tpu import clustering as _cl
+    blob = json.loads(data.decode())
+
+    def intkeys(raw):
+        # json coerces dict keys to str; dpd's betas/counts are value-keyed
+        return {k: ({int(a): b for a, b in v.items()}
+                    if isinstance(v, dict) else v)
+                for k, v in raw.items()}
+
+    shareds = []
+    for block, raw in zip(spec.blocks, blob['shareds']):
+        raw = intkeys(raw)
+        if raw.pop('__state_dict__', False):
+            shareds.append(block.module.shared_from_state_dict(raw))
+        else:
+            shareds.append(block.module.shared_from_dict(raw))
+    shareds = tuple(shareds)
+    cl_model = None
+    if 'cl' in blob:
+        cls = _cl.PitmanYor if blob['cl_kind'] == 'py' else _cl.LowEntropy
+        cl_model = cls.from_dict(blob['cl'])
+    return shareds, cl_model
+
+
 def state_to_message(state, assignments=None, key=None, sweep=None,
-                     logger_rows=None):
+                     logger_rows=None, shareds=None, cl_model=None,
+                     spec=None):
     msg = schema_pb2.MixtureCheckpoint()
     arrays = {
         'counts': np.asarray(state.counts),
@@ -76,6 +130,9 @@ def state_to_message(state, assignments=None, key=None, sweep=None,
         msg.sweep = int(sweep)
     if logger_rows is not None:
         msg.logger_rows = json.dumps(logger_rows).encode()
+    if shareds is not None:
+        assert spec is not None, 'shareds serialization needs the spec'
+        msg.hypers = _hypers_to_json(shareds, cl_model, spec)
     return msg
 
 
@@ -108,9 +165,10 @@ def message_to_state(msg, spec, shareds):
 
 
 def save(filename, state, assignments=None, key=None, sweep=None,
-         logger_rows=None):
+         logger_rows=None, shareds=None, cl_model=None, spec=None):
     msg = state_to_message(state, assignments, key, sweep=sweep,
-                           logger_rows=logger_rows)
+                           logger_rows=logger_rows, shareds=shareds,
+                           cl_model=cl_model, spec=spec)
     protobuf_stream_dump([msg.SerializeToString()], filename)
 
 
@@ -134,3 +192,13 @@ def load_extended(filename, spec, shareds):
     state, assignments, key = message_to_state(msg, spec, shareds)
     rows = json.loads(msg.logger_rows.decode()) if msg.logger_rows else []
     return state, assignments, key, int(msg.sweep), rows
+
+
+def load_hypers(filename, spec):
+    """(shareds tuple or None, cl_model or None) — the resampled
+    hyperparameters of a hyper-grid run's checkpoint (None, None for
+    checkpoints written without them)."""
+    msg = _load_message(filename)
+    if not msg.hypers:
+        return None, None
+    return _hypers_from_json(msg.hypers, spec)

@@ -123,6 +123,31 @@ def shared_to_dict(shared):
     }
 
 
+def shared_to_state_dict(shared):
+    """Slot-order-preserving serialization (checkpoint path): group count
+    tables are slot-aligned [.., V] arrays, so the sorted/compacted
+    `shared_to_dict` form is NOT safe to restore against saved groups —
+    this form round-trips the dense table verbatim."""
+    return {
+        'gamma': float(shared.gamma),
+        'alpha': float(shared.alpha),
+        'beta0': float(shared.beta0),
+        'slot_values': [int(v) for v in np.asarray(shared.values)],
+        'slot_betas': [float(b) for b in np.asarray(shared.betas)],
+        'slot_counts': [int(c) for c in np.asarray(shared.counts)],
+    }
+
+
+def shared_from_state_dict(raw):
+    return Shared(
+        gamma=jnp.float32(raw['gamma']),
+        alpha=jnp.float32(raw['alpha']),
+        beta0=jnp.float32(raw['beta0']),
+        values=jnp.asarray(raw['slot_values'], jnp.int32),
+        betas=jnp.asarray(raw['slot_betas'], jnp.float32),
+        counts=jnp.asarray(raw['slot_counts'], jnp.int32))
+
+
 def group_from_dict(raw, shared):
     counts = jnp.zeros(capacity(shared), jnp.int32)
     total = 0

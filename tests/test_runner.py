@@ -225,3 +225,74 @@ def test_runner_mesh_xla_fallback():
     purity = sum(np.bincount(labels[a == g]).max()
                  for g in np.unique(a)) / 1024
     assert purity > 0.95, purity
+
+
+def test_runner_hyper_grid_resampling(tmp_path):
+    """Hyper-grid runs: (1) the grid step moves the feature Shared toward
+    the data-supported setting, (2) resampled hypers round-trip through
+    the checkpoint, (3) resume restores them (not the originals)."""
+    from distributions_tpu.io import checkpoint as ckpt_mod
+    from distributions_tpu.inference import hypers
+
+    spec, shareds, values = _problem(R=128)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    ckpt = str(tmp_path / 'hyper.ckpt')
+
+    # grid over sigmasq: the data has within-cluster sigma ~ 0.3
+    # (sigmasq ~ 0.1); a grid {0.01, 0.1, 10} should avoid 10
+    grid = nich.Shared(
+        mu=jnp.zeros(3), kappa=jnp.full(3, 0.1),
+        sigmasq=jnp.asarray([0.01, 0.1, 10.0]), nu=jnp.ones(3))
+    cl_grid = hypers.make_py_grid([0.5, 1.0, 2.0], [0.0, 0.1])
+
+    state, assign, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=12,
+        block=32, checkpoint_path=ckpt, checkpoint_every=6,
+        hyper_grids={0: grid}, cl_grid=cl_grid, hyper_every=3,
+        hyper_sample=False)
+
+    new_shared = log.final_shareds[0]
+    assert float(new_shared.sigmasq) != 10.0
+    assert log.final_cl_model is not None
+    hyper_rows = [r for r in log.rows if 'hyper_0' in r]
+    assert len(hyper_rows) == 4  # sweeps 3, 6, 9, 12
+
+    # checkpoint carries the resampled hypers
+    saved_shareds, saved_cl = ckpt_mod.load_hypers(ckpt, spec)
+    assert saved_shareds is not None
+    np.testing.assert_allclose(float(saved_shareds[0].sigmasq),
+                               float(new_shared.sigmasq), rtol=1e-6)
+    assert isinstance(saved_cl, clustering.PitmanYor)
+
+    # resume path restores the saved hypers: run 3 more passes from the
+    # checkpoint passing the ORIGINAL shareds; the logged scores must be
+    # computed under the resampled ones (smoke: it runs and continues
+    # numbering), and load_hypers after still matches
+    state2, assign2, log2 = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=15,
+        block=32, checkpoint_path=ckpt, checkpoint_every=3,
+        hyper_grids={0: grid}, cl_grid=cl_grid, hyper_every=100)
+    assert [r['sweep'] for r in log2.rows][-1] == 14
+    again_shareds, _ = ckpt_mod.load_hypers(ckpt, spec)
+    np.testing.assert_allclose(float(again_shareds[0].sigmasq),
+                               float(new_shared.sigmasq), rtol=1e-6)
+
+
+def test_checkpoint_hypers_dpd_roundtrip(tmp_path):
+    """dpd's value-keyed betas/counts dicts survive the json hypers blob
+    (keys re-coerced to int on load so slot order is stable)."""
+    from distributions_tpu.io import checkpoint as ckpt_mod
+    from distributions_tpu.models import dpd
+
+    spec = mx.make_spec([(dpd, 1)], capacity=16, empties=1)
+    shared = dpd.shared_from_dict(
+        {'gamma': 0.5, 'alpha': 0.5,
+         'betas': {2: 0.25, 10: 0.5, 1: 0.25},
+         'counts': {2: 1, 10: 2, 1: 4}}, cap=16)
+    state = mx.init(spec, (shared,))
+    path = str(tmp_path / 'dpd.ckpt')
+    ckpt_mod.save(path, state, spec=spec, shareds=(shared,))
+    loaded, _ = ckpt_mod.load_hypers(path, spec)
+    assert dpd.shared_to_dict(loaded[0]) == dpd.shared_to_dict(shared)
+    np.testing.assert_array_equal(np.asarray(loaded[0].values),
+                                  np.asarray(shared.values))
