@@ -366,3 +366,42 @@ def test_fused_host_sampling_sweep_end_to_end():
     debug.validate_assignments(spec, state, assignments)
     s1 = float(mx.score_data(spec, PY, shareds, state))
     assert np.isfinite(s1) and s1 > s0, (s0, s1)
+
+
+def test_v2_kernel_stat_sums_match_xla_contraction():
+    """v2 kernel's in-kernel hi/mid/lo stat contraction == the XLA one-hot
+    contraction of the same draws (CPU interpret, host noise; the TPU
+    bf16-MXU version of this equality is test_tpu_pallas.py's
+    test_fused_v2_kernel_distribution_and_stats)."""
+    import numpy as np
+    from distributions_tpu import clustering
+    from distributions_tpu.models import nich
+    from distributions_tpu.ops import pallas_kernels as pk
+
+    PY = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    R, C = 1024, 128
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 2)], capacity=C, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 1.0, 'nu': 1.}),)
+    centers = rng.randn(8, 2) * 3
+    labels = rng.randint(0, 8, R)
+    values = (jnp.asarray(
+        centers[labels] + 0.3 * rng.randn(R, 2), jnp.float32),)
+    state = mx.state_from_assignments(
+        spec, PY, shareds, values, jnp.asarray(labels, jnp.int32))
+    cl_scores = clustering.score_value(
+        PY, state.counts, state.alive, state.sample_size)
+    coeffs = pk.nich_coeffs_v2(shareds[0], state.groups[0])
+    noise = jnp.asarray(
+        np.random.RandomState(1).rand(R, 1), jnp.float32)
+    out, sums = pk.fused_score_sample_stats(
+        7, jnp.concatenate(values, axis=1), cl_scores, coeffs, (2,),
+        block_rows=256, interpret=True, sampling='cdf_host', noise=noise)
+    cd2, raw2 = pk.split_stat_sums(spec, np.asarray(sums))
+    cd, raw = mx.tile_sums_fast(
+        spec, shareds, mx.precompute_row_stats(spec, shareds, values),
+        jnp.asarray(np.asarray(out)))
+    np.testing.assert_array_equal(np.asarray(cd), np.asarray(cd2))
+    np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(raw2[0]),
+                               rtol=1e-5, atol=1e-3)
