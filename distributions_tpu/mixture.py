@@ -339,7 +339,10 @@ def tile_sums_fast(spec, shareds, row_stats, assignments):
     for block, shared, rs in zip(spec.blocks, shareds, row_stats):
         B = rs.shape[0]
         flat = rs.reshape(B, -1)
-        s = jnp.matmul(onehot.T, flat, preferred_element_type=jnp.float32)
+        # exact contraction: TPU default f32 matmul is one bf16 pass
+        # (~2e-3 relative error on v/v^2 sums — measured); these sums are
+        # cached and SUBTRACTED across sweeps, so they must be exact
+        s = base.exact_onehot_matmul(onehot.T, flat)
         sums.append(s.reshape((C,) + rs.shape[1:]))
     return counts_delta, tuple(sums)
 
@@ -362,8 +365,7 @@ def tile_deltas_fast(spec, shareds, row_stats, assignments):
     for block, shared, rs in zip(spec.blocks, shareds, row_stats):
         B = rs.shape[0]
         flat = rs.reshape(B, -1)                        # [B, cols*S]
-        sums = jnp.matmul(onehot.T, flat,
-                          preferred_element_type=jnp.float32)
+        sums = base.exact_onehot_matmul(onehot.T, flat)
         sums = sums.reshape((C,) + rs.shape[1:])        # [C, cols, S]
         tiles.append(block.module.row_stats_to_tile(shared, sums))
     return counts_delta, tuple(tiles)

@@ -59,23 +59,48 @@ def group_stack(groups):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *groups)
 
 
+def exact_onehot_matmul(onehot_t, flat):
+    """onehot_t [K, B] (exact 0/1) @ flat [B, S] f32 -> [K, S] EXACTLY.
+
+    TPU f32 matmuls default to a single bf16 MXU pass (~2^-9 relative
+    error on the rounded operand); splitting `flat` hi/mid/lo into three
+    bf16 values (3 x 8 mantissa bits cover f32's 24) and contracting with
+    f32 accumulation is exact because the 0/1 side is exactly
+    representable in bf16 — the same trick as the in-kernel stat
+    contraction (ops/pallas_kernels._split_contract).  One 3x-wide bf16
+    MXU pass instead of precision=HIGHEST's 6 passes.
+    """
+    flat = jnp.asarray(flat, jnp.float32)
+    hi = flat.astype(jnp.bfloat16)
+    r1 = flat - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    packed = jnp.concatenate([hi, mid, lo], axis=-1)
+    S = flat.shape[-1]
+    p = jnp.matmul(onehot_t.astype(jnp.bfloat16), packed,
+                   preferred_element_type=jnp.float32)
+    return p[..., :S] + p[..., S:2 * S] + p[..., 2 * S:]
+
+
 def segment_sum(data, segment_ids, num_segments):
     """Segment sum as a one-hot matmul.
 
     XLA lowers `jax.ops.segment_sum` to scatter-add, which serializes on
-    TPU; a [B, K] one-hot contraction instead rides the MXU and is exact
-    for integer data (f32 matmul is exact below 2^24).  Out-of-range
-    segment ids drop, matching scatter's mode='drop'.
+    TPU; a [B, K] one-hot contraction instead rides the MXU — through
+    `exact_onehot_matmul`, so the result is EXACT f32 regardless of the
+    backend's default matmul precision.  Out-of-range segment ids drop,
+    matching scatter's mode='drop'.
     """
     data = jnp.asarray(data)
     segment_ids = jnp.asarray(segment_ids)
-    onehot = (segment_ids[:, None]
-              == jnp.arange(num_segments, dtype=segment_ids.dtype)[None, :])
+    onehot_t = (jnp.arange(num_segments,
+                           dtype=segment_ids.dtype)[:, None]
+                == segment_ids[None, :])                     # [K, B]
     out_dtype = data.dtype
-    acc = jnp.einsum(
-        'bk,b...->k...', onehot.astype(jnp.float32),
-        data.astype(jnp.float32),
-        preferred_element_type=jnp.float32)
+    B = data.shape[0]
+    flat = data.astype(jnp.float32).reshape(B, -1)
+    acc = exact_onehot_matmul(onehot_t, flat)
+    acc = acc.reshape((num_segments,) + data.shape[1:])
     if jnp.issubdtype(out_dtype, jnp.integer):
         acc = jnp.round(acc)
     return acc.astype(out_dtype)

@@ -644,9 +644,14 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
         else:
             cols_s = []
             for c in range(b.cols):
+                # count_table [C, V] holds exact integer counts up to the
+                # tile size (> bf16's 8-bit-exact range) and W holds f32
+                # stat columns: the TPU default one-bf16-pass matmul
+                # rounds both; HIGHEST keeps the cached raw sums exact
                 cols_s.append(jnp.matmul(
                     tcounts[tcol], W[bi],
-                    preferred_element_type=jnp.float32))
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST))
                 tcol += 1
             new_sums.append(jnp.stack(cols_s, axis=1))
     return new_assign, new_cd, tuple(new_sums)

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from distributions_tpu import mixture as mx
+from distributions_tpu.models import base as model_base
 from distributions_tpu import clustering as _clustering
 from distributions_tpu.random import sample_from_scores
 
@@ -315,8 +316,7 @@ def sharded_sweep_components(spec, cl_model, shareds, state, values,
             tiles = []
             for b, shared, rs in zip(spec.blocks, shareds, tile_stats):
                 flat = rs.reshape(rs.shape[0], -1)
-                sums = jnp.matmul(onehot.T, flat,
-                                  preferred_element_type=jnp.float32)
+                sums = model_base.exact_onehot_matmul(onehot.T, flat)
                 sums = sums.reshape((C_local,) + rs.shape[1:])
                 tiles.append(b.module.row_stats_to_tile(shared, sums))
             return cd, tuple(tiles)
@@ -481,8 +481,7 @@ def sharded_sweep_2d(spec, cl_model, shareds, state, values, assignments,
             tiles = []
             for b, shared, rs in zip(spec.blocks, shareds, tile_stats):
                 flat = rs.reshape(rs.shape[0], -1)
-                sums = jnp.matmul(onehot.T, flat,
-                                  preferred_element_type=jnp.float32)
+                sums = model_base.exact_onehot_matmul(onehot.T, flat)
                 sums = sums.reshape((C_local,) + rs.shape[1:])
                 tiles.append(b.module.row_stats_to_tile(shared, sums))
             cd = lax.psum(cd, ROWS)
@@ -634,8 +633,7 @@ def sharded_sweep_2d_fused(spec, cl_model, shareds, state, values,
             tiles = []
             for b, shared, rs in zip(spec.blocks, shareds, tile_stats):
                 flat = rs.reshape(rs.shape[0], -1)
-                sums = jnp.matmul(onehot.T, flat,
-                                  preferred_element_type=jnp.float32)
+                sums = model_base.exact_onehot_matmul(onehot.T, flat)
                 sums = sums.reshape((C_local,) + rs.shape[1:])
                 tiles.append(b.module.row_stats_to_tile(shared, sums))
             return lax.psum(cd, ROWS), lax.psum(tuple(tiles), ROWS)
