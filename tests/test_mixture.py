@@ -331,3 +331,34 @@ def test_log_predictive_matches_score_data_chain_rule():
             per_k.append(float(mx.score_data(spec, cl, shareds, st2)) - base)
         want.append(float(jax.scipy.special.logsumexp(jnp.asarray(per_k))))
     np.testing.assert_allclose(got, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_exact_onehot_matmul_is_exact():
+    """The hi/mid/lo bf16 split contraction must equal a float64 reference
+    to within one f32 ulp of each output (on TPU the plain f32 matmul is
+    ONE bf16 pass, ~2e-3 relative — this helper is what keeps cached stat
+    sums exact; see models/base.exact_onehot_matmul)."""
+    import numpy as np
+    from distributions_tpu.models import base
+
+    rng = np.random.RandomState(0)
+    B, K, S = 1024, 64, 6
+    ids = rng.randint(0, K, B)
+    onehot_t = (np.arange(K)[:, None] == ids[None, :]).astype(np.float32)
+    # mix of large ints (log_prod-style), small floats, squares
+    data = np.concatenate([
+        rng.randint(0, 1 << 20, (B, 2)).astype(np.float32),
+        rng.randn(B, 2).astype(np.float32) * 100,
+        (rng.randn(B, 2).astype(np.float32) * 30) ** 2,
+    ], axis=1)
+    got = np.asarray(base.exact_onehot_matmul(
+        jnp.asarray(onehot_t), jnp.asarray(data)))
+    want = onehot_t.astype(np.float64) @ data.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=3e-7, atol=1e-3)
+
+    # integer sums below 2^24 reconstruct EXACTLY
+    ints = rng.randint(0, 1 << 12, (B, 3)).astype(np.float32)
+    got_i = np.asarray(base.exact_onehot_matmul(
+        jnp.asarray(onehot_t), jnp.asarray(ints)))
+    want_i = onehot_t.astype(np.float64) @ ints.astype(np.float64)
+    np.testing.assert_array_equal(got_i, want_i.astype(np.float32))
