@@ -187,8 +187,46 @@ def bench_special():
             'value': round(x.size / dt, 1), 'unit': 'calls/s'}))
 
 
+def bench_hyper_grid():
+    """Hyper-grid scoring rate: one vmapped score_data over a [G] grid of
+    Shareds x [C] groups (the runner's hyper_grids step; the reference
+    exposes the primitive as dd.hpp:259-287 score_data_grid).  Metric:
+    grid-cells (G x C group-marginals) per second."""
+    import jax
+    import jax.numpy as jnp
+    from distributions_tpu import mixture as mx, clustering
+    from distributions_tpu.models import nich
+    from distributions_tpu.inference import hypers
+
+    R = int(os.environ.get('BENCH_ROWS', 65536))
+    C = int(os.environ.get('BENCH_CAP', 1024))
+    G = int(os.environ.get('BENCH_GRID', 64))
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 2)], capacity=C, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 1.0, 'nu': 1.}),)
+    cl = clustering.PitmanYor.from_dict({'alpha': 100.0, 'd': 0.1})
+    values = (jnp.asarray(rng.randn(R, 2), np.float32),)
+    assignments = jnp.asarray(rng.randint(0, C - 8, R), jnp.int32)
+    state = mx.state_from_assignments(spec, cl, shareds, values, assignments)
+    grid = nich.Shared(
+        mu=jnp.zeros(G), kappa=jnp.full(G, 0.1),
+        sigmasq=jnp.asarray(np.logspace(-2, 2, G), jnp.float32),
+        nu=jnp.ones(G))
+
+    step = jax.jit(lambda k: hypers.grid_step_feature(
+        k, spec, 0, shareds, state, grid)[1])
+    keys = [jax.random.PRNGKey(i) for i in range(12)]
+    step(keys[0])
+    dt = timeit(lambda: step(keys[np.random.randint(12)]), iters=10)
+    print(json.dumps({
+        'metric': 'hyper_grid_cells_per_sec', 'G': G, 'C': C,
+        'value': round(G * C / dt, 1), 'unit': 'grid-cells/s'}))
+
+
 SECTIONS = {
     'mixture': bench_mixture,
+    'hyper_grid': bench_hyper_grid,
     'sample_from_scores': bench_sample_from_scores,
     'score_counts': bench_score_counts,
     'sample_assignments': bench_sample_assignments,
