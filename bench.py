@@ -33,7 +33,7 @@ def main():
     # 65536/1024 = 21.2 (104x).  Larger tiles amortize the [C]-sized
     # inter-kernel bookkeeping; BR=1024 halves per-grid-step overheads.
     BLOCK = int(os.environ.get('BENCH_BLOCK', 65536))
-    FEATURES = 2
+    FEATURES = int(os.environ.get('BENCH_FEATURES', 2))
     SWEEPS = int(os.environ.get('BENCH_SWEEPS', 30))
 
     import jax
@@ -64,16 +64,24 @@ def main():
     use_pallas = (os.environ.get('BENCH_PALLAS', '1') == '1'
                   and jax.devices()[0].platform != 'cpu')
     kernel = os.environ.get('BENCH_KERNEL', 'v2')  # v2 | v1 | xla
+    # gumbel-argmax measured faster than inverse-CDF once the roofline
+    # showed logs are ~1e12/s on this VPU while the CDF's prefix matmul
+    # costs 256 MXU flops/cell (BENCH.md roofline section)
+    sampling = os.environ.get('BENCH_SAMPLING', 'gumbel')
     from distributions_tpu.ops import pallas_kernels as pk
     kernel_rows = int(os.environ.get(
-        'BENCH_KERNEL_ROWS', pk.auto_block_rows(C, 1024, block=BLOCK) or 128))
-    fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS', '10'))
+        'BENCH_KERNEL_ROWS',
+        pk.auto_block_rows(C, 2048, block=BLOCK, sampling=sampling) or 128))
+    # all timed sweeps inside ONE device program: per-program launch
+    # overhead through the tunneled backend is ~28 ms (measured with an
+    # empty kernel), so splitting 30 sweeps into 3 programs taxes every
+    # sweep ~2.8 ms of pure host/tunnel overhead
+    fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS', str(SWEEPS)))
     if use_pallas and kernel == 'v2':
         # v2: in-kernel stats + inverse-CDF sampling; remove-side sums are
         # cache-carried between sweeps (the [1] element of the carry).
         # BENCH_FUSE_SWEEPS>1 runs that many sweeps per device program
         # (lax.scan) so per-launch dispatch overhead amortizes.
-        sampling = os.environ.get('BENCH_SAMPLING', 'cdf')
         cache0 = gibbs.build_stat_cache(
             spec, shareds, values, BLOCK, assignments)
 

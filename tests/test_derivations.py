@@ -30,3 +30,11 @@ def test_low_entropy_partition_table_exact():
 def test_py_eppf_normalized():
     py_normalization(n=6, alpha=1.5, d=0.2)
     py_normalization(n=5, alpha=0.5, d=0.0)
+
+
+def test_logbeta_envelope():
+    """special.log_beta / log_binom meet the 2e-4 envelope everywhere the
+    audit grid covers — including the x >> y cancellation corner the
+    naive three-lgamma identity fails at (derivations/logbeta.py)."""
+    from derivations import logbeta
+    assert logbeta.check()

@@ -267,8 +267,12 @@ def test_stirling_row_core_vs_hp_exact():
         # the core's softmin-asymptotic rows degrade toward k -> n (the
         # reference's approximation has the same edge behavior, reference
         # src/special.cc:88-130): bound interior at 2%, edge at 4%;
-        # k = n is exactly log 1 = 0 in both
-        rel = (np.abs(core_row - hp_row)[1:n]
+        # k = n is exactly log 1 = 0 in both.  k = 0 is -inf in both and
+        # is sliced out BEFORE differencing (inf - inf would be a NaN);
+        # the compared range must be finite.
+        assert np.isfinite(core_row[1:]).all() and \
+            np.isfinite(hp_row[1:]).all(), n
+        rel = (np.abs(core_row[1:n] - hp_row[1:n])
                / (np.abs(hp_row[1:n]) + 1.0))
         assert rel[2:n - 4].max() < 0.02, (n, rel[2:n - 4].max())
         assert rel.max() < 0.04, (n, rel.max())
