@@ -28,13 +28,17 @@ def main():
     # sizes (env-overridable for smoke tests)
     R = int(os.environ.get('BENCH_ROWS', 1048576))
     C = int(os.environ.get('BENCH_COMPONENTS', 1024))
-    # block/kernel-rows tuning measured on the v5e chip (BENCH.md):
-    # 16384/512 = 24.7 ms/sweep, 32768/512 = 23.7, 65536/512 = 23.2,
-    # 65536/1024 = 21.2 (104x).  Larger tiles amortize the [C]-sized
-    # inter-kernel bookkeeping; BR=1024 halves per-grid-step overheads.
-    BLOCK = int(os.environ.get('BENCH_BLOCK', 65536))
+    # block/kernel-rows tuning measured on the v5e chip (BENCH.md r4):
+    # with gumbel sampling + lane-oriented layouts, BLOCK=131072/BR=2048
+    # = 11.9 ms/sweep nich x2 (186x) and 11.0 ms nich x1 (101x); larger
+    # tiles amortize the [C]-sized inter-kernel bookkeeping.
+    BLOCK = int(os.environ.get('BENCH_BLOCK', 131072))
     FEATURES = int(os.environ.get('BENCH_FEATURES', 2))
-    SWEEPS = int(os.environ.get('BENCH_SWEEPS', 30))
+    # 150 sweeps in 3 fused 50-sweep programs: a single timed call reads
+    # anomalously slow through the tunnel (~2x; measured), and per-program
+    # launch overhead is ~28 ms, so 3 calls x 50 fused sweeps keeps the
+    # launch tax at ~0.6 ms/sweep with a stable 3-call timing base.
+    SWEEPS = int(os.environ.get('BENCH_SWEEPS', 150))
 
     import jax
     if os.environ.get('BENCH_FORCE_CPU') == '1':
@@ -72,11 +76,11 @@ def main():
     kernel_rows = int(os.environ.get(
         'BENCH_KERNEL_ROWS',
         pk.auto_block_rows(C, 2048, block=BLOCK, sampling=sampling) or 128))
-    # all timed sweeps inside ONE device program: per-program launch
-    # overhead through the tunneled backend is ~28 ms (measured with an
-    # empty kernel), so splitting 30 sweeps into 3 programs taxes every
-    # sweep ~2.8 ms of pure host/tunnel overhead
-    fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS', str(SWEEPS)))
+    # 50 sweeps per device program (see SWEEPS comment above): amortizes
+    # the ~28 ms/program launch overhead without relying on a single
+    # timed call
+    fuse_sweeps = int(os.environ.get('BENCH_FUSE_SWEEPS',
+                                     str(max(1, SWEEPS // 3))))
     if use_pallas and kernel == 'v2':
         # v2: in-kernel stats + inverse-CDF sampling; remove-side sums are
         # cache-carried between sweeps (the [1] element of the carry).

@@ -20,7 +20,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
               resume=True, init='prior', use_pallas=False,
               grow_headroom=0.125, log=None, mesh=None, sampling='cdf',
               block_rows=1024, hyper_grids=None, cl_grid=None,
-              hyper_every=10, hyper_sample=True):
+              hyper_every=10, hyper_sample=True,
+              checkpoint_format='npz'):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
 
     - resumes from `checkpoint_path` when it exists (bitwise-continuing the
@@ -62,8 +63,29 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     """
     logger = log or diagnostics.SweepLogger()
     start_pass = 0
+    assert checkpoint_format in ('npz', 'orbax'), checkpoint_format
+    if checkpoint_format == 'orbax' and hyper_grids:
+        raise ValueError(
+            "checkpoint_format='orbax' does not persist resampled "
+            "hyperparameters yet; use the npz envelope for hyper-grid "
+            "runs")
 
-    if resume and checkpoint_path and os.path.exists(checkpoint_path):
+    if (resume and checkpoint_path and checkpoint_format == 'orbax'
+            and os.path.isdir(checkpoint_path)):
+        # per-host-parallel sharded restore (io/checkpoint_orbax.py);
+        # arrays land back on `mesh` (or the default device)
+        from distributions_tpu.io import checkpoint_orbax
+        R = int(np.shape(np.asarray(values[0]) if mesh is None
+                         else values[0])[0])
+        state, assignments, saved_key, start_pass, rows = \
+            checkpoint_orbax.load_sharded(
+                checkpoint_path, spec, shareds, mesh=mesh, n_rows=R)
+        if saved_key is not None:
+            key = saved_key
+        if rows and not logger.rows:
+            logger.rows = rows
+    elif (resume and checkpoint_path and checkpoint_format == 'npz'
+            and os.path.exists(checkpoint_path)):
         state, assignments, saved_key, start_pass, rows = \
             checkpoint.load_extended(checkpoint_path, spec, shareds)
         if saved_key is not None:
@@ -188,11 +210,13 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
 
         if checkpoint_path and (sweep + 1) % checkpoint_every == 0:
             _save(checkpoint_path, state, assignments, key, sweep + 1,
-                  logger, spec=spec, shareds=shareds, cl_model=cl_model)
+                  logger, spec=spec, shareds=shareds, cl_model=cl_model,
+                  fmt=checkpoint_format)
 
     if checkpoint_path:
         _save(checkpoint_path, state, assignments, key, passes, logger,
-              spec=spec, shareds=shareds, cl_model=cl_model)
+              spec=spec, shareds=shareds, cl_model=cl_model,
+              fmt=checkpoint_format)
     logger.final_shareds = shareds
     logger.final_cl_model = cl_model
     return state, assignments, logger
@@ -212,9 +236,18 @@ def _host_view(state):
 
 
 def _save(path, state, assignments, key, sweep, logger, spec=None,
-          shareds=None, cl_model=None):
-    """Checkpoint; in multi-host mode rows are gathered and process 0
-    writes (the state is replicated, so host 0's view is the state)."""
+          shareds=None, cl_model=None, fmt='npz'):
+    """Checkpoint.  fmt='npz': rows are gathered and process 0 writes the
+    protobuf/npz envelope (the state is replicated, so host 0's view is
+    the state).  fmt='orbax': collective per-host-parallel sharded write
+    — every process stores only its addressable shards, nothing is
+    gathered (the multi-host-scale path; SURVEY §5 checkpoint row)."""
+    if fmt == 'orbax':
+        from distributions_tpu.io import checkpoint_orbax
+        checkpoint_orbax.save_sharded(
+            path, state, assignments=assignments, key=key, sweep=sweep,
+            logger_rows=logger.rows, force=True)
+        return
     from distributions_tpu.parallel import distributed
     an = distributed.gather_rows(assignments)
     if jax.process_index() == 0:

@@ -30,9 +30,37 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _discover_mesh(tree):
+    from jax.sharding import NamedSharding
+    for leaf in jax.tree_util.tree_leaves(tree):
+        sh = getattr(leaf, 'sharding', None)
+        if isinstance(sh, NamedSharding):
+            return sh.mesh
+    return None
+
+
+def _globalize(tree, mesh):
+    """Multi-host orbax can only serialize globally-addressable arrays;
+    host-local leaves (e.g. the RNG key, scalars computed outside jit)
+    are replicated onto the global mesh first.  Values must be identical
+    across processes — true for everything we checkpoint."""
+    if jax.process_count() == 1 or mesh is None:
+        return tree
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    def fix(a):
+        if isinstance(a, jax.Array) and not a.is_fully_addressable:
+            return a                      # already global
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(a), mesh, P())
+    return jax.tree_util.tree_map(fix, tree)
+
+
 def save_sharded(path, state, assignments=None, key=None, sweep=None,
-                 logger_rows=None):
-    """Write a sharded checkpoint directory at `path` (must not exist).
+                 logger_rows=None, force=False):
+    """Write a sharded checkpoint directory at `path` (must not exist
+    unless force=True, which overwrites — the periodic-checkpoint case).
     Collective: every process must call with the same arguments."""
     path = os.path.abspath(path)
     tree = {'state': dict(state._asdict())}
@@ -40,8 +68,9 @@ def save_sharded(path, state, assignments=None, key=None, sweep=None,
         tree['assignments'] = assignments
     if key is not None:
         tree['rng_key_data'] = jax.random.key_data(key)
+    tree = _globalize(tree, _discover_mesh(tree))
     ckptr = _checkpointer()
-    ckptr.save(path, tree)
+    ckptr.save(path, tree, force=force)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
         meta = {'sweep': int(sweep or 0), 'logger_rows': logger_rows or []}

@@ -1,0 +1,70 @@
+"""Record the multi-process equality check as a per-round JSON artifact.
+
+Runs `__graft_entry__.dryrun_multihost` (REAL jax.distributed + gloo
+2-process group, bitwise-compared against a single-process run of the
+same global mesh) and writes MULTIHOST_r{N}.json with the outcome, so
+multi-host reproducibility is machine-visible per round the same way
+MULTICHIP_r{N}.json records the virtual-mesh dryrun.
+
+Usage: python record_multihost.py [--round N] [--out FILE]
+"""
+
+import argparse
+import json
+import os
+import re
+import time
+import traceback
+
+
+def current_round(repo):
+    rounds = [0]
+    for name in os.listdir(repo):
+        m = re.match(r'(?:VERDICT|BENCH_r?)(\d+)', name)
+        if m:
+            rounds.append(int(m.group(1)))
+        m = re.match(r'BENCH_r(\d+)\.json', name)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def main():
+    repo = os.path.dirname(os.path.abspath(__file__))
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--round', type=int, default=None)
+    ap.add_argument('--out', default=None)
+    ap.add_argument('--nproc', type=int, default=2)
+    ap.add_argument('--devices-per-process', type=int, default=4)
+    args = ap.parse_args()
+
+    rnd = args.round if args.round is not None else current_round(repo)
+    out = args.out or os.path.join(repo, 'MULTIHOST_r%02d.json' % rnd)
+
+    import __graft_entry__ as ge
+    t0 = time.time()
+    result = {
+        'nproc': args.nproc,
+        'devices_per_process': args.devices_per_process,
+        'check': 'dryrun_multihost: 2-proc gloo group sweep assignments/'
+                 'counts bitwise-equal to single-process same-size mesh',
+    }
+    try:
+        ge.dryrun_multihost(args.nproc, args.devices_per_process)
+        result['ok'] = True
+        result['tail'] = ''
+    except BaseException as e:          # record the failure, don't crash
+        result['ok'] = False
+        result['tail'] = (traceback.format_exc()[-2000:]
+                          if not isinstance(e, AssertionError)
+                          else str(e)[-2000:])
+    result['elapsed_s'] = round(time.time() - t0, 1)
+    with open(out, 'w') as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result)[:400])
+    print('wrote', out)
+    return 0 if result['ok'] else 1
+
+
+if __name__ == '__main__':
+    raise SystemExit(main())

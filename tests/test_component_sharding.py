@@ -95,3 +95,60 @@ def test_component_sharded_argmax_matches_single_device():
         np.asarray(an_s).tolist(), an_np.tolist())
     np.testing.assert_array_equal(np.asarray(st_s.counts),
                                   np.asarray(st_1.counts))
+
+
+def test_component_sharded_sampling_stationary():
+    """Distributional validation of the component-sharded sweep in
+    SAMPLING mode (gumbel): on the tiny enumerable bb problem of
+    tests/test_gibbs_stationary.py, the chain's empirical partition
+    distribution must match the exact posterior.  This exercises the
+    per-shard-empty-slot semantics statistically: the clustering empty
+    mass splits over n_shards * empties slots, which must leave the
+    PARTITION posterior unchanged (the per-slot scores are alpha/E each,
+    summing to the same new-table mass).  Analog of the reference's
+    CachedMixture-vs-naive trajectory tests
+    (/root/reference/distributions/tests/test_clustering.py:242-303)."""
+    from collections import Counter
+    from jax import lax
+    from distributions_tpu.models import bb
+    from tests.test_gibbs_stationary import (
+        canonical, _exact_posterior_for, total_variation)
+
+    R, C = 4, 8
+    py = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.0})
+    shareds = (bb.shared_from_dict({'alpha': 1.0, 'beta': 1.0}),)
+    spec = mx.make_spec([(bb, 1)], capacity=C, empties=1)
+    values = (jnp.asarray([[True], [True], [False], [False]]),)
+    mesh = sharding.make_component_mesh(jax.devices()[:4])  # C_local=2
+
+    # same PY params as tests/test_gibbs_stationary.PY, which
+    # _exact_posterior_for bakes in; the partition posterior is
+    # capacity-independent so C=8 reuses it unchanged
+    posterior = _exact_posterior_for(spec, shareds, values)
+
+    assignments0 = jnp.zeros(R, jnp.int32)
+    state0 = mx.state_from_assignments(spec, py, shareds, values,
+                                       assignments0)
+    n_sweeps = 3000
+
+    @jax.jit
+    def chain(state, assignments, keys):
+        def step(carry, key):
+            st, an = carry
+            # block=1 recovers exact per-row collapsed semantics
+            st, an = sharding.sharded_sweep_components(
+                spec, py, shareds, st, values, an, key, mesh, block=1,
+                sampling='gumbel')
+            return (st, an), an
+        (_, _), trace = lax.scan(step, (state, assignments), keys)
+        return trace
+
+    trace = np.asarray(chain(
+        state0, assignments0,
+        jax.random.split(jax.random.PRNGKey(7), n_sweeps)))
+
+    emp = Counter(canonical(row) for row in trace[200::2])
+    total = sum(emp.values())
+    emp = {c: n / total for c, n in emp.items()}
+    tv = total_variation(emp, posterior)
+    assert tv < 0.07, (tv, emp, posterior)

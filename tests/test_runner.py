@@ -296,3 +296,34 @@ def test_checkpoint_hypers_dpd_roundtrip(tmp_path):
     assert dpd.shared_to_dict(loaded[0]) == dpd.shared_to_dict(shared)
     np.testing.assert_array_equal(np.asarray(loaded[0].values),
                                   np.asarray(shared.values))
+
+
+def test_resume_orbax_format_continues_exactly(tmp_path):
+    """checkpoint_format='orbax' (per-host sharded write, no gather):
+    kill-and-restart resume must equal an uninterrupted run bitwise, the
+    same contract test_resume_continues_exactly pins for the npz
+    envelope."""
+    pytest.importorskip('orbax.checkpoint')
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    key = jax.random.PRNGKey(3)
+
+    st_a, an_a, log_a = runner.run_gibbs(
+        spec, cl, shareds, values, key, passes=5, block=16, resume=False)
+
+    ckpt = str(tmp_path / 'crash_orbax')
+    runner.run_gibbs(
+        spec, cl, shareds, values, key, passes=2, block=16,
+        checkpoint_path=ckpt, checkpoint_every=100, resume=False,
+        checkpoint_format='orbax')
+    assert os.path.isdir(ckpt)
+    st_b, an_b, log_b = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(999),  # ignored
+        passes=5, block=16, checkpoint_path=ckpt, resume=True,
+        checkpoint_format='orbax')
+
+    np.testing.assert_array_equal(np.asarray(an_a), np.asarray(an_b))
+    np.testing.assert_array_equal(np.asarray(st_a.counts),
+                                  np.asarray(st_b.counts))
+    assert [r['sweep'] for r in log_b.rows] == [0, 1, 2, 3, 4]
+    assert log_b.rows[-1]['score_data'] == log_a.rows[-1]['score_data']
