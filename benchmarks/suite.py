@@ -115,21 +115,43 @@ def bench_mixture():
 
 def bench_sample_from_scores():
     """Categorical-from-scores throughput vs vector size (reference
-    benchmarks/sample_from_scores.cc:35-80)."""
+    benchmarks/sample_from_scores.cc:35-80).
+
+    TRUE DEVICE RATES: T iterations run inside one program via lax.scan
+    (fresh fold_in key per iteration), so the ~0.1-2 ms per-dispatch
+    tunnel overhead that made the old per-call numbers flat/dispatch-
+    bound is amortized away.  Two units are reported: draws/s (categorical
+    samples) and elems/s (score elements consumed = draws x size — the
+    unit the reference's 'choices/us' actually counts:
+    sample_from_scores.cc:60 divides size*iters by time)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from distributions_tpu.random import sample_from_scores
 
     rng = np.random.RandomState(0)
     B = 4096
     for size in [2 ** e for e in range(4, 15, 2)]:
         scores = jnp.asarray(rng.randn(B, size), jnp.float32)
+        T = max(4, (1 << 24) // (B * size))
+
+        @jax.jit
+        def run(key, scores):
+            def body(carry, i):
+                draws = sample_from_scores(
+                    jax.random.fold_in(key, i), scores)
+                return carry + draws[0], ()
+            c, _ = lax.scan(body, jnp.int32(0),
+                            jnp.arange(T, dtype=jnp.int32))
+            return c
+
         key = jax.random.PRNGKey(0)
-        fn = jax.jit(lambda k, s: sample_from_scores(k, s))
-        dt = timeit(fn, key, scores, iters=20)
+        dt = timeit(run, key, scores, iters=3) / T
         print(json.dumps({
             'metric': 'sample_from_scores_choices_per_sec', 'size': size,
-            'value': round(B / dt, 1), 'unit': 'choices/s'}))
+            'value': round(B / dt, 1), 'unit': 'draws/s',
+            'elems_per_sec': round(B * size / dt, 1),
+            'in_program_iters': T}))
 
 
 def bench_score_counts():
@@ -139,17 +161,31 @@ def bench_score_counts():
     import jax.numpy as jnp
     from distributions_tpu import clustering
 
+    from jax import lax
     model = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.2})
     rng = np.random.RandomState(0)
-    for size in [1000, 10000, 100000]:
+    for size in [1000, 10000, 100000, 1000000]:
         counts = jnp.asarray(
             rng.multinomial(size, np.ones(size // 10) / (size // 10)),
             jnp.float32)
-        fn = jax.jit(lambda c: clustering.py_score_counts(model, c))
-        dt = timeit(fn, counts, iters=20)
+        # in-program loop (one dispatch): roll the counts each iteration
+        # so XLA cannot hoist the score out of the scan body; the roll is
+        # O(n) copies vs the score's O(n) lgammas — a few % overhead
+        T = max(4, (1 << 22) // size)
+
+        @jax.jit
+        def run(counts):
+            def body(c, _):
+                c = jnp.roll(c, 1)
+                return c, clustering.py_score_counts(model, c)
+            _, scores = lax.scan(body, counts, None, length=T)
+            return scores
+
+        dt = timeit(run, counts, iters=3) / T
         print(json.dumps({
             'metric': 'py_score_counts_per_sec', 'partition_size': size,
-            'value': round(1.0 / dt, 1), 'unit': 'scores/s'}))
+            'value': round(1.0 / dt, 1), 'unit': 'scores/s',
+            'in_program_iters': T}))
 
 
 def bench_sample_assignments():
@@ -175,16 +211,26 @@ def bench_special():
     import jax.numpy as jnp
     from distributions_tpu import special
 
+    from jax import lax
     rng = np.random.RandomState(0)
     x = jnp.asarray(np.abs(rng.randn(1 << 20)) * 10 + 0.1, jnp.float32)
+    T = 64   # in-program loop; input perturbed per iteration (no hoisting)
     for name, fn in [('exp', jnp.exp), ('log', jnp.log),
                      ('lgamma', special.lgamma),
                      ('lgamma_nu', special.lgamma_nu)]:
-        jfn = jax.jit(lambda v, f=fn: f(v))
-        dt = timeit(jfn, x, iters=20)
+        @jax.jit
+        def run(v, f=fn):
+            def body(acc, i):
+                return acc + f(v + 1e-6 * i), ()
+            acc, _ = lax.scan(body, jnp.zeros_like(v),
+                              jnp.arange(T, dtype=jnp.float32))
+            return acc[0]
+
+        dt = timeit(run, x, iters=3) / T
         print(json.dumps({
             'metric': 'special_calls_per_sec', 'fn': name,
-            'value': round(x.size / dt, 1), 'unit': 'calls/s'}))
+            'value': round(x.size / dt, 1), 'unit': 'calls/s',
+            'in_program_iters': T}))
 
 
 def bench_hyper_grid():

@@ -441,12 +441,30 @@ def sweep_blocked_pallas_fused(spec, cl_model, shareds, state, values,
     return state, new_tiled.reshape(R), (out_cd, out_sums)
 
 
+from collections import namedtuple
+
+_MixedLayout = namedtuple('_MixedLayout', [
+    'nich_blocks', 'quad_blocks', 'table_blocks', 'quad_groups', 'V',
+    'nich_vals', 'quad_vals', 'table_idx', 'supports_dev', 'table_vs'])
+
+
 def _mixed_static_layout(spec, values, supports):
     """Host-side static layout for the v3 mixed fused sweep: nich/niw/table
-    block split, per-block sorted supports, lane-padded V, support-index
-    columns, flattened niw value columns, and per-block [V, S] stat
-    matrices W (count_table @ W = raw tile sums, since every discrete
-    model's tile stats are linear in the per-value counts)."""
+    block split, per-block sorted supports, PACKED value-axis layout, and
+    support-index columns.
+
+    All table columns share ONE packed value axis: column j's support
+    occupies lanes [offset_j, offset_j + V_j) of a Vtot-lane axis
+    (Vtot = sum of true support sizes, rounded up to a 128-lane multiple).
+    The kernel then scores ALL table columns with a single
+    [BR, 2*Vtot] x [2*Vtot, C] MXU pass and contracts ALL their count
+    tables with a single [C, BR] x [BR, Vtot] pass — the per-column
+    V-padded-to-128 matmuls this replaces cost ~768 MXU flops/cell *per
+    column* regardless of true support size (bb's support is 2!), which
+    dominated the table-model sweeps (BENCH.md r4 roofline).
+
+    V in the returned tuple is the packed Vtot; `table_vs` gives each
+    table COLUMN's true support length, in column order."""
     import numpy as np
     from distributions_tpu.models import nich as nich_mod, niw as niw_mod
 
@@ -458,8 +476,10 @@ def _mixed_static_layout(spec, values, supports):
                    if b.module is niw_mod]
     table_blocks = [i for i, b in enumerate(spec.blocks)
                     if b.module is not nich_mod and b.module is not niw_mod]
-    V_raw = max([len(supports[i]) for i in table_blocks], default=1)
-    V = ((V_raw + 127) // 128) * 128
+    table_vs = tuple(
+        len(supports[i])
+        for i in table_blocks for _ in range(spec.blocks[i].cols))
+    V = ((max(sum(table_vs), 1) + 127) // 128) * 128
 
     R = jnp.asarray(values[0]).shape[0]
     nich_vals = (jnp.concatenate(
@@ -484,9 +504,10 @@ def _mixed_static_layout(spec, values, supports):
     supports_dev = tuple(
         jnp.asarray(supports[i]) if supports[i] is not None else None
         for i in range(len(spec.blocks)))
-    return (tuple(nich_blocks), tuple(quad_blocks), tuple(table_blocks),
-            tuple(quad_groups), V, nich_vals, quad_vals, table_idx,
-            supports_dev)
+    return _MixedLayout(
+        tuple(nich_blocks), tuple(quad_blocks), tuple(table_blocks),
+        tuple(quad_groups), V, nich_vals, quad_vals, table_idx,
+        supports_dev, table_vs)
 
 
 def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
@@ -516,9 +537,9 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
     assert R % block == 0
     n_blocks = R // block
     C = spec.capacity
+    lay = _mixed_static_layout(spec, values, supports)
     (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
-     quad_vals, table_idx, supports_dev) = _mixed_static_layout(
-        spec, values, supports)
+     quad_vals, table_idx, supports_dev, table_vs) = lay
 
     # validate the column-constant-nu restriction of the product-form nich
     # block HERE, where shareds are still concrete (nich_coeffs_v2 runs
@@ -532,20 +553,19 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
                 'put columns with distinct nu in separate cols=1 blocks'
                 % (i, nu))
 
-    # per-block [V, S] stat matrices (f32, rows beyond the support zero)
+    # per-block [V_raw, S] stat matrices (count_table_slice @ W = raw sums)
     W = []
     for i, b in enumerate(spec.blocks):
         if i in table_blocks:
-            w = b.module.row_stat_columns(shareds[i], supports_dev[i])
-            W.append(jnp.pad(w, ((0, V - w.shape[0]), (0, 0))))
+            W.append(b.module.row_stat_columns(shareds[i], supports_dev[i]))
         else:
             W.append(None)
     W = tuple(W)
 
     return _fused_mixed_run(
         spec, nich_blocks, quad_blocks, table_blocks, quad_groups, V,
-        block, block_rows, sampling, n_sweeps, cl_model, shareds, state,
-        assignments, key, cache, nich_vals, quad_vals, table_idx,
+        block, block_rows, sampling, n_sweeps, table_vs, cl_model, shareds,
+        state, assignments, key, cache, nich_vals, quad_vals, table_idx,
         supports_dev, W)
 
 
@@ -570,6 +590,10 @@ def _build_fused_inputs(spec, nich_blocks, quad_blocks, table_blocks, V,
     else:
         qcoeffs = None
 
+    # PACKED score tables: every table column's [V_raw, C] table occupies
+    # its own slice of one shared [V(=Vtot), C] value axis, so the kernel
+    # scores all table columns in a single MXU pass (see
+    # _mixed_static_layout)
     table_list = []
     for i in table_blocks:
         blk = spec.blocks[i]
@@ -578,19 +602,21 @@ def _build_fused_inputs(spec, nich_blocks, quad_blocks, table_blocks, V,
             lambda g: blk.module.score_value_batch(
                 shareds[i], g, sup),
             in_axes=1, out_axes=0)(state.groups[i])  # [c, Vr, C]
-        pad = V - per_col.shape[1]
-        if pad:
-            per_col = jnp.pad(per_col, ((0, 0), (0, pad), (0, 0)))
-        table_list.append(per_col)
-    tables = (jnp.concatenate(table_list, axis=0) if table_list
-              else jnp.zeros((0, V, C), jnp.float32))
+        table_list.extend(per_col[j] for j in range(per_col.shape[0]))
+    if table_list:
+        packed = jnp.concatenate(table_list, axis=0)      # [sumV, C]
+        # padding lanes never receive a one-hot 1; zero keeps the bf16
+        # split benign
+        tables = jnp.pad(packed, ((0, V - packed.shape[0]), (0, 0)))
+    else:
+        tables = jnp.zeros((0, C), jnp.float32)
     return coeffs, qcoeffs, tables
 
 
 def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
                      quad_groups, V, block_rows, sampling, cl_model,
                      shareds, supports_dev, W, state, t_nich, t_quad,
-                     t_idx, seed, noise=None):
+                     t_idx, seed, noise=None, table_vs=()):
     """Score + sample + stats for ONE tile against the current (already
     tile-removed) state via the fused kernel.  Returns (new_assign [B],
     counts_delta [C], per-block raw sums) — sums in build_stat_cache's
@@ -613,17 +639,26 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
             seed, t_nich, t_idx, cl_scores, coeffs, tables,
             col_groups, block_rows=block_rows, sampling=sampling,
             qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups,
-            noise=noise)
+            noise=noise, table_vs=table_vs)
+
+    # per-column slices of the PACKED [C, Vtot] count table
+    offs = []
+    o = 0
+    for v in table_vs:
+        offs.append(o)
+        o += v
 
     # counts delta: the ones-column of whichever stat family is present
     # (nich [1|v|v^2] sums; quad [1|v|vv^T] sums; or a count table's
-    # row-sums over the support)
+    # row-sums over the first column's support slice)
     if nich_blocks:
         new_cd = jnp.round(nich_sums[:, 0]).astype(jnp.int32)
     elif quad_blocks:
         new_cd = jnp.round(qsums[:, 0]).astype(jnp.int32)
     else:
-        new_cd = jnp.round(jnp.sum(tcounts[0], axis=1)).astype(jnp.int32)
+        new_cd = jnp.round(jnp.sum(
+            tcounts[:, offs[0]:offs[0] + table_vs[0]],
+            axis=1)).astype(jnp.int32)
     # per-block raw sums in build_stat_cache's generic format
     quad_raw = pk.quad_sums_to_raw(qsums, quad_groups)
     new_sums = []
@@ -644,12 +679,14 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
         else:
             cols_s = []
             for c in range(b.cols):
-                # count_table [C, V] holds exact integer counts up to the
-                # tile size (> bf16's 8-bit-exact range) and W holds f32
-                # stat columns: the TPU default one-bf16-pass matmul
-                # rounds both; HIGHEST keeps the cached raw sums exact
+                # count_table slice [C, V_raw] holds exact integer counts
+                # up to the tile size (> bf16's 8-bit-exact range) and W
+                # holds f32 stat columns: the TPU default one-bf16-pass
+                # matmul rounds both; HIGHEST keeps the cached raw sums
+                # exact
+                sl = slice(offs[tcol], offs[tcol] + table_vs[tcol])
                 cols_s.append(jnp.matmul(
-                    tcounts[tcol], W[bi],
+                    tcounts[:, sl], W[bi],
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST))
                 tcol += 1
@@ -657,11 +694,12 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
     return new_assign, new_cd, tuple(new_sums)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
                      quad_groups, V, block, block_rows, sampling, n_sweeps,
-                     cl_model, shareds, state, assignments, key, cache,
-                     nich_vals, quad_vals, table_idx, supports_dev, W):
+                     table_vs, cl_model, shareds, state, assignments, key,
+                     cache, nich_vals, quad_vals, table_idx, supports_dev,
+                     W):
     R = assignments.shape[0]
     n_blocks = R // block
     tiled_nich = nich_vals.reshape(n_blocks, block, -1)
@@ -693,7 +731,8 @@ def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
             new_assign, new_cd, new_sums = _fused_tile_core(
                 spec, nich_blocks, quad_blocks, table_blocks, quad_groups,
                 V, block_rows, sampling, cl_model, shareds, supports_dev,
-                W, state, t_nich, t_quad, t_idx, seed, noise=noise)
+                W, state, t_nich, t_quad, t_idx, seed, noise=noise,
+                table_vs=table_vs)
 
             tiles = mx.sums_to_tiles(spec, shareds, new_sums)
             state = mx.apply_stat_tiles(

@@ -155,14 +155,13 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
     assert R % (n_dev * block) == 0, (
         'pad rows to a multiple of devices*block')
     (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
-     quad_vals, table_idx, supports_dev) = _g._mixed_static_layout(
-        spec, values, supports)
+     quad_vals, table_idx, supports_dev, table_vs) = \
+        _g._mixed_static_layout(spec, values, supports)
 
     W = []
     for i, b in enumerate(spec.blocks):
         if i in table_blocks:
-            w = b.module.row_stat_columns(shareds[i], supports_dev[i])
-            W.append(jnp.pad(w, ((0, V - w.shape[0]), (0, 0))))
+            W.append(b.module.row_stat_columns(shareds[i], supports_dev[i]))
         else:
             W.append(None)
     W = tuple(W)
@@ -213,7 +212,7 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
                     spec, nich_blocks, quad_blocks, table_blocks,
                     quad_groups, V, block_rows, sampling, cl_model,
                     shareds, supports_dev, W, state, t_nich, t_quad,
-                    t_idx, seed, noise=noise)
+                    t_idx, seed, noise=noise, table_vs=table_vs)
 
                 g_cd = lax.psum(new_cd, ROWS)
                 g_sums = lax.psum(new_sums, ROWS)
@@ -591,8 +590,8 @@ def sharded_sweep_2d_fused(spec, cl_model, shareds, state, values,
 
     values = tuple(jnp.asarray(v) for v in values)
     (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
-     quad_vals, table_idx, supports_dev) = _g._mixed_static_layout(
-        spec, values, supports)
+     quad_vals, table_idx, supports_dev, table_vs) = \
+        _g._mixed_static_layout(spec, values, supports)
     col_groups = tuple(spec.blocks[i].cols for i in nich_blocks)
 
     state_specs = mx.MixtureState(
@@ -685,7 +684,8 @@ def sharded_sweep_2d_fused(spec, cl_model, shareds, state, values,
             local_arg, local_best = pk.fused_score_sample_pair(
                 seed, t_nich, t_idx, cl_scores, coeffs, tables,
                 col_groups, block_rows=block_rows, sampling=sampling,
-                qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups)
+                qvalues=t_quad, qcoeffs=qcoeffs, quad_groups=quad_groups,
+                table_vs=table_vs)
 
             global_best = lax.pmax(local_best, COMPONENTS)
             winner = jnp.where(local_best == global_best,

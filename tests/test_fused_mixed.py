@@ -304,8 +304,8 @@ def _host_sampling_draws(sampling, key, R=4096, C=128):
     state = mx.state_from_assignments(spec, PY, shareds, values, assignments)
 
     (nich_blocks, quad_blocks, table_blocks, quad_groups, V, nich_vals,
-     quad_vals, table_idx, supports_dev) = gibbs._mixed_static_layout(
-        spec, values, None)
+     quad_vals, table_idx, supports_dev, table_vs) = \
+        gibbs._mixed_static_layout(spec, values, None)
     coeffs, qcoeffs, tables = gibbs._build_fused_inputs(
         spec, nich_blocks, quad_blocks, table_blocks, V, shareds,
         supports_dev, state)
@@ -319,7 +319,8 @@ def _host_sampling_draws(sampling, key, R=4096, C=128):
     an, _, _, _ = pk.fused_mixed_score_sample_stats(
         0, nich_vals, table_idx, cl_scores, coeffs, tables, col_groups,
         block_rows=128, sampling=sampling, qvalues=quad_vals,
-        qcoeffs=qcoeffs, quad_groups=quad_groups, noise=noise)
+        qcoeffs=qcoeffs, quad_groups=quad_groups, noise=noise,
+        table_vs=table_vs)
 
     scores = np.asarray(
         mx.score_batch(spec, PY, shareds, state, values))[0]  # [C]
