@@ -133,7 +133,7 @@ def bench_sample_from_scores():
     B = 4096
     for size in [2 ** e for e in range(4, 15, 2)]:
         scores = jnp.asarray(rng.randn(B, size), jnp.float32)
-        T = max(4, (1 << 24) // (B * size))
+        T = min(16384, max(64, (1 << 31) // (B * size)))
 
         @jax.jit
         def run(key, scores):
@@ -155,36 +155,78 @@ def bench_sample_from_scores():
 
 
 def bench_score_counts():
-    """PY score_counts rate vs partition size (reference
-    benchmarks/score_counts.cc:49-91)."""
+    """PY score_counts rate vs dataset size (reference
+    benchmarks/score_counts.cc:49-91).
+
+    The reference scores the count vector of a PY PRIOR DRAW of n items
+    — for PY(1, 0.2) that is only ~(alpha/d) n^d groups (e.g. ~80 at
+    n=1e6), so its "scores/sec" is over an O(n^d)-length vector, not an
+    O(n) one.  Counts here are drawn from the same measure via GEM
+    stick-breaking + multinomial.  Two rates are reported:
+      - sequential: lax.scan of dependent single scores in-program (the
+        reference's harness shape; latency-bound on TPU), and
+      - batched: vmap over 4096 count vectors at once (the TPU-native
+        serving shape — hyper-grid scoring and chain diagnostics score
+        many partitions at once).
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
     from distributions_tpu import clustering
 
-    from jax import lax
-    model = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.2})
+    alpha, d = 1.0, 0.2
+    model = clustering.PitmanYor.from_dict({'alpha': alpha, 'd': d})
     rng = np.random.RandomState(0)
-    for size in [1000, 10000, 100000, 1000000]:
-        counts = jnp.asarray(
-            rng.multinomial(size, np.ones(size // 10) / (size // 10)),
-            jnp.float32)
-        # in-program loop (one dispatch): roll the counts each iteration
-        # so XLA cannot hoist the score out of the scan body; the roll is
-        # O(n) copies vs the score's O(n) lgammas — a few % overhead
-        T = max(4, (1 << 22) // size)
+
+    def py_counts(n):
+        # GEM(alpha, d) stick-breaking, truncated when the remaining
+        # mass cannot contain another expected item
+        sticks = []
+        log_rest = 0.0
+        k = 0
+        while log_rest > -np.log(4.0 * n) and k < 1 << 20:
+            v = rng.beta(1 - d, alpha + (k + 1) * d)
+            sticks.append(np.exp(log_rest) * v)
+            log_rest += np.log1p(-v)
+            k += 1
+        w = np.asarray(sticks)
+        w = w / w.sum()
+        counts = rng.multinomial(n, w)
+        return counts[counts > 0].astype(np.float32)
+
+    B = 4096
+    for size in [1000, 10000, 100000, 1000000, 10000000]:
+        counts = jnp.asarray(py_counts(size))
+        K = int(counts.shape[0])
+        T = 4096
 
         @jax.jit
-        def run(counts):
+        def run_seq(c):
             def body(c, _):
-                c = jnp.roll(c, 1)
+                c = c.at[0].add(1.0)      # serial dependency, no hoisting
                 return c, clustering.py_score_counts(model, c)
-            _, scores = lax.scan(body, counts, None, length=T)
+            _, scores = lax.scan(body, c, None, length=T)
             return scores
 
-        dt = timeit(run, counts, iters=3) / T
+        dt = timeit(run_seq, counts, iters=3) / T
+        batch = jnp.tile(counts[None, :], (B, 1)) + jnp.arange(
+            B, dtype=jnp.float32)[:, None]
+
+        @jax.jit
+        def run_batch(cb):
+            def body(cb, _):
+                cb = cb.at[:, 0].add(1.0)
+                return cb, jax.vmap(
+                    lambda c: clustering.py_score_counts(model, c))(cb)
+            _, scores = lax.scan(body, cb, None, length=8)
+            return scores
+
+        dtb = timeit(run_batch, batch, iters=3) / (8 * B)
         print(json.dumps({
-            'metric': 'py_score_counts_per_sec', 'partition_size': size,
+            'metric': 'py_score_counts_per_sec', 'dataset_size': size,
+            'n_groups': K,
             'value': round(1.0 / dt, 1), 'unit': 'scores/s',
+            'batched_scores_per_sec': round(1.0 / dtb, 1),
             'in_program_iters': T}))
 
 
