@@ -21,7 +21,7 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
               grow_headroom=0.125, log=None, mesh=None, sampling='cdf',
               block_rows=1024, hyper_grids=None, cl_grid=None,
               hyper_every=10, hyper_sample=True,
-              checkpoint_format='npz'):
+              checkpoint_format='npz', hyper_slice=None, cl_slice=False):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
 
     - resumes from `checkpoint_path` when it exists (bitwise-continuing the
@@ -188,7 +188,7 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             spec, cl_model, shareds, _host_view(state))
         stats['seconds'] = round(dt, 4)
 
-        if (hyper_grids or cl_grid is not None) \
+        if (hyper_grids or hyper_slice or cl_grid is not None or cl_slice) \
                 and (sweep + 1) % hyper_every == 0:
             from distributions_tpu.inference import hypers as _hypers
             for block_idx, grid in (hyper_grids or {}).items():
@@ -197,11 +197,31 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                     sub, spec, block_idx, shareds, state, grid,
                     sample=hyper_sample)
                 stats['hyper_%d' % block_idx] = int(idx)
+            # continuous alternatives (inference/slice.py): no grid design
+            # needed — coordinate-wise slice sampling of the same
+            # objectives.  hyper_slice: {block_idx: (param names tuple,
+            # width)}; cl_slice: True or a kwargs dict for
+            # slice_step_clustering.
+            for block_idx, (params, width) in (hyper_slice or {}).items():
+                from distributions_tpu.inference import slice as _slice
+                key, sub = jax.random.split(key)
+                shareds, sh = _slice.slice_step_feature(
+                    sub, spec, block_idx, shareds, state, tuple(params),
+                    width=width)
+                stats['hyper_slice_%d' % block_idx] = 1
             if cl_grid is not None:
                 key, sub = jax.random.split(key)
                 cl_model, idx, _ = _hypers.grid_step_clustering(
                     sub, cl_grid, state, sample=hyper_sample)
                 stats['hyper_cl'] = int(idx)
+            elif cl_slice:
+                from distributions_tpu.inference import slice as _slice
+                key, sub = jax.random.split(key)
+                kw = cl_slice if isinstance(cl_slice, dict) else {}
+                cl_model, _ = _slice.slice_step_clustering(
+                    sub, cl_model, state, **kw)
+                stats['hyper_cl_alpha'] = float(cl_model.alpha)
+                stats['hyper_cl_d'] = float(cl_model.d)
             # shareds changed: the fused stat cache keys row stats off the
             # shareds (dpd value tables); rebuild next sweep
             cache = None

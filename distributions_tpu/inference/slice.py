@@ -1,0 +1,191 @@
+"""Continuous hyperparameter inference: univariate slice sampling
+(Neal 2003, stepping-out + shrinkage), jit-compatible.
+
+The grid machinery in inference/hypers.py is the reference-faithful
+idiom (the reference exposes score_data_grid, dd.hpp:259-287, and its
+downstream systems grid-search hyperparameters).  Grids put the design
+burden on the user — range and resolution per parameter.  This module
+removes it: hyperparameters are resampled by coordinate-wise slice
+sampling of the same objectives (feature-block `score_data`, clustering
+`score_counts`), with positive parameters sampled in log space.
+
+Targets: p(theta | data) ∝ exp(logprob(theta)) x flat prior in the
+TRANSFORMED coordinate (log space for positive parameters) — the
+continuous analog of the grid step's flat prior over grid points.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def slice_1d(key, x0, logp, width=1.0, lo=-jnp.inf, hi=jnp.inf,
+             max_step_out=16, max_shrink=32):
+    """One univariate slice-sampling transition from x0 under logp.
+
+    Stepping-out with interval width `width`, truncated to [lo, hi];
+    shrinkage until acceptance (bounded at max_shrink iterations, then
+    falls back to x0 — a null move, never an invalid one).  All control
+    flow is lax.while_loop: usable inside jit.  Returns the new x.
+    """
+    k_level, k_u, k_j, k_shrink = jax.random.split(key, 4)
+    x0 = jnp.asarray(x0, jnp.float32)
+    y = logp(x0) + jnp.log(jax.random.uniform(k_level, minval=1e-38))
+
+    # initial interval around x0
+    u = jax.random.uniform(k_u)
+    L0 = jnp.maximum(x0 - width * u, lo)
+    R0 = jnp.minimum(L0 + width, hi)
+
+    # stepping out (Neal's fig. 3), budget split randomly between sides
+    j_total = max_step_out
+    j_left = jax.random.randint(k_j, (), 0, j_total + 1)
+
+    def out_left(st):
+        L, j = st
+        return (j < j_left) & (L > lo) & (logp(L) > y)
+
+    def step_left(st):
+        L, j = st
+        return jnp.maximum(L - width, lo), j + 1
+
+    L, _ = lax.while_loop(out_left, step_left, (L0, 0))
+
+    def out_right(st):
+        R, j = st
+        return (j < j_total - j_left) & (R < hi) & (logp(R) > y)
+
+    def step_right(st):
+        R, j = st
+        return jnp.minimum(R + width, hi), j + 1
+
+    R, _ = lax.while_loop(out_right, step_right, (R0, 0))
+
+    # shrinkage
+    def shrink_cond(st):
+        _, _, _, _, accepted, it = st
+        return (~accepted) & (it < max_shrink)
+
+    def shrink_body(st):
+        L, R, key, x, _, it = st
+        key, kk = jax.random.split(key)
+        x1 = L + jax.random.uniform(kk) * (R - L)
+        ok = logp(x1) > y
+        L = jnp.where(~ok & (x1 < x0), x1, L)
+        R = jnp.where(~ok & (x1 >= x0), x1, R)
+        return L, R, key, x1, ok, it + 1
+
+    _, _, _, x, accepted, _ = lax.while_loop(
+        shrink_cond, shrink_body, (L, R, k_shrink, x0, False, 0))
+    return jnp.where(accepted, x, x0)
+
+
+# ---------------------------------------------------------------------------
+# Clustering prior: continuous (alpha, d) for PitmanYor.
+
+def slice_step_clustering(key, model, state, n_steps=2,
+                          w_log_alpha=1.0, w_logit_d=1.5, sample_d=True,
+                          d_max=0.9999):
+    """Resample PitmanYor {alpha, d} by slice sampling against the
+    current partition (clustering.score_counts of state.counts) —
+    the continuous replacement for hypers.grid_step_clustering /
+    make_py_grid.  alpha is sampled in log space, d in logit space
+    (d in [0, d_max)); sample_d=False holds d fixed (CRP).
+
+    Returns (new_model, (log_alpha, logit_d) final coordinates)."""
+    from distributions_tpu import clustering as _cl
+
+    counts = state.counts
+
+    def logp_a(log_alpha, d):
+        m = type(model)(alpha=jnp.exp(log_alpha), d=d)
+        return _cl.score_counts(m, counts)
+
+    def logp_d(logit_d, alpha):
+        d = d_max * jax.nn.sigmoid(logit_d)
+        m = type(model)(alpha=alpha, d=d)
+        return _cl.score_counts(m, counts)
+
+    la = jnp.log(jnp.asarray(model.alpha, jnp.float32))
+    d = jnp.asarray(model.d, jnp.float32)
+    td = jnp.log(jnp.maximum(d / d_max, 1e-6) /
+                 jnp.maximum(1.0 - d / d_max, 1e-6))
+    for s in range(n_steps):
+        key, ka, kd = jax.random.split(key, 3)
+        la = slice_1d(ka, la, partial(logp_a, d=d_max * jax.nn.sigmoid(td)
+                                      if sample_d else d),
+                      width=w_log_alpha, lo=-10.0, hi=12.0)
+        if sample_d:
+            td = slice_1d(kd, td, partial(logp_d, alpha=jnp.exp(la)),
+                          width=w_logit_d, lo=-12.0, hi=12.0)
+    new_d = d_max * jax.nn.sigmoid(td) if sample_d else d
+    return type(model)(alpha=jnp.exp(la), d=new_d), (la, td)
+
+
+# ---------------------------------------------------------------------------
+# Feature-block hyperparameters.
+
+# Shared leaves sampled on the identity scale; everything else positive
+# -> log scale.
+_IDENTITY_PARAMS = ('mu',)
+
+
+def slice_step_feature(key, spec, block_idx, shareds, state, params,
+                       n_steps=1, width=1.0):
+    """Resample scalar Shared leaves of block `block_idx` by
+    coordinate-wise slice sampling of the block's score_data (the same
+    objective hypers.grid_step_feature scores on a grid).
+
+    params: tuple of Shared field names to resample (each leaf scalar or
+    [cols]-shaped; vector-valued fields like dd's `alphas` are not
+    supported — use the grid).  Positive-constrained fields are sampled
+    in log space (`mu` on the identity scale).
+
+    Returns (new_shareds tuple, final shared for the block)."""
+    block = spec.blocks[block_idx]
+    group = state.groups[block_idx]
+    shared = shareds[block_idx]
+
+    def block_logp(sh):
+        return jnp.sum(jax.vmap(
+            lambda g: block.module.score_data(sh, g),
+            in_axes=1, out_axes=0)(group))
+
+    for s in range(n_steps):
+        for name in params:
+            leaf = jnp.asarray(getattr(shared, name), jnp.float32)
+            flat = jnp.ravel(leaf) if leaf.ndim else leaf[None]
+            n_coord = int(flat.shape[0])
+            for c in range(n_coord):
+                key, kc = jax.random.split(key)
+                ident = name in _IDENTITY_PARAMS
+
+                def logp_coord(x, name=name, c=c, ident=ident):
+                    v = x if ident else jnp.exp(x)
+                    cur = jnp.asarray(getattr(shared, name), jnp.float32)
+                    if cur.ndim:
+                        new = jnp.ravel(cur).at[c].set(v).reshape(cur.shape)
+                    else:
+                        new = v
+                    return block_logp(shared._replace(**{name: new}))
+
+                x0 = flat[c] if ident else jnp.log(jnp.maximum(flat[c],
+                                                               1e-30))
+                x1 = slice_1d(kc, x0, logp_coord, width=width,
+                              lo=-30.0, hi=30.0)
+                v1 = x1 if ident else jnp.exp(x1)
+                cur = jnp.asarray(getattr(shared, name), jnp.float32)
+                if cur.ndim:
+                    new = jnp.ravel(cur).at[c].set(v1).reshape(cur.shape)
+                else:
+                    new = v1
+                shared = shared._replace(**{name: new})
+                flat = (jnp.ravel(jnp.asarray(getattr(shared, name)))
+                        if cur.ndim else jnp.asarray(
+                            getattr(shared, name))[None])
+
+    new_shareds = tuple(
+        shared if i == block_idx else s for i, s in enumerate(shareds))
+    return new_shareds, shared

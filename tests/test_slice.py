@@ -1,0 +1,174 @@
+"""Slice-sampling hyperparameter inference (inference/slice.py).
+
+Validation strategy mirrors the GoF machinery used elsewhere: chains
+from `slice_1d` must match known densities (KS), and the clustering /
+feature steps must match numerically-integrated posteriors over the
+same objectives the grid steps score.
+"""
+
+import numpy as np
+import pytest
+import scipy.stats
+
+import jax
+import jax.numpy as jnp
+
+from distributions_tpu import clustering, mixture as mx
+from distributions_tpu.models import nich
+from distributions_tpu.inference import slice as sl
+
+
+def _chain(key, x0, logp, n, **kw):
+    @jax.jit
+    def step(carry, k):
+        x = sl.slice_1d(k, carry, logp, **kw)
+        return x, x
+    keys = jax.random.split(key, n)
+    _, xs = jax.lax.scan(step, jnp.float32(x0), keys)
+    return np.asarray(xs)
+
+
+def test_slice_1d_standard_normal():
+    xs = _chain(jax.random.PRNGKey(0), 0.3,
+                lambda x: -0.5 * x * x, 4000, width=2.0)
+    d, p = scipy.stats.kstest(xs[500::3], 'norm')
+    assert p > 1e-3, (d, p)
+
+
+def test_slice_1d_respects_bounds():
+    # half-normal on [0, inf): all samples nonnegative, matches |N(0,1)|
+    xs = _chain(jax.random.PRNGKey(1), 0.5,
+                lambda x: -0.5 * x * x, 4000, width=1.5, lo=0.0)
+    assert (xs >= 0).all()
+    d, p = scipy.stats.kstest(xs[500::3], scipy.stats.halfnorm().cdf)
+    assert p > 1e-3, (d, p)
+
+
+def _alpha_posterior_grid(counts, las):
+    """Numeric posterior over log-alpha (flat prior in log-alpha) for a
+    CRP partition: the exact target of slice_step_clustering with
+    sample_d=False, d=0."""
+    scores = np.array([
+        float(clustering.score_counts(
+            clustering.PitmanYor(alpha=float(np.exp(la)), d=0.0),
+            jnp.asarray(counts, jnp.float32))) for la in las])
+    p = np.exp(scores - scores.max())
+    return p / p.sum()
+
+
+def test_slice_clustering_matches_numeric_posterior():
+    counts = np.zeros(32, np.float32)
+    counts[:5] = [40, 25, 18, 10, 7]
+    state = mx.MixtureState(
+        counts=jnp.asarray(counts, jnp.int32),
+        alive=jnp.asarray(counts > -1),
+        sample_size=jnp.int32(counts.sum()), groups=())
+
+    model0 = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.0})
+
+    @jax.jit
+    def step(carry, k):
+        m, _ = sl.slice_step_clustering(
+            k, carry, state, n_steps=1, sample_d=False)
+        return m, m.alpha
+
+    keys = jax.random.split(jax.random.PRNGKey(2), 3000)
+    _, alphas = jax.lax.scan(step, model0, keys)
+    las = np.log(np.asarray(alphas)[500::2])
+
+    # compare empirical CDF of log-alpha against the numeric posterior
+    grid = np.linspace(-4, 5, 400)
+    pgrid = _alpha_posterior_grid(counts, grid)
+    cdf_grid = np.cumsum(pgrid)
+
+    def cdf(x):
+        return np.interp(x, grid, cdf_grid, left=0.0, right=1.0)
+
+    d, p = scipy.stats.kstest(las, cdf)
+    assert p > 1e-3, (d, p, las.mean())
+
+
+def test_slice_clustering_with_d():
+    counts = np.zeros(16, np.float32)
+    counts[:6] = [30, 20, 12, 6, 3, 1]
+    state = mx.MixtureState(
+        counts=jnp.asarray(counts, jnp.int32),
+        alive=jnp.asarray(counts > -1),
+        sample_size=jnp.int32(counts.sum()), groups=())
+    model0 = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.3})
+
+    @jax.jit
+    def step(carry, k):
+        m, _ = sl.slice_step_clustering(k, carry, state, n_steps=1)
+        return m, (m.alpha, m.d)
+
+    keys = jax.random.split(jax.random.PRNGKey(5), 400)
+    m, (alphas, ds) = jax.lax.scan(step, model0, keys)
+    alphas, ds = np.asarray(alphas), np.asarray(ds)
+    assert np.isfinite(alphas).all() and np.isfinite(ds).all()
+    assert (ds >= 0).all() and (ds < 1).all()
+    # the chain must actually move both coordinates
+    assert np.unique(np.round(alphas, 6)).size > 100
+    assert np.unique(np.round(ds, 6)).size > 100
+
+
+def test_slice_feature_nich_sigmasq():
+    """Slice-resampled sigmasq matches the numeric posterior over
+    log-sigmasq of the same score_data objective."""
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 1)], capacity=8, empties=1)
+    shared0 = nich.shared_from_dict(
+        {'mu': 0., 'kappa': 1.0, 'sigmasq': 1.0, 'nu': 1.})
+    X = (2.5 * rng.randn(200, 1)).astype(np.float32)
+    assignments = jnp.asarray(rng.randint(0, 4, 200), jnp.int32)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.0})
+    state = mx.state_from_assignments(
+        spec, cl, (shared0,), (jnp.asarray(X),), assignments)
+
+    @jax.jit
+    def step(carry, k):
+        shareds, _ = sl.slice_step_feature(
+            k, spec, 0, (carry,), state, ('sigmasq',), width=1.5)
+        return shareds[0], shareds[0].sigmasq
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 2500)
+    _, sigs = jax.lax.scan(step, shared0, keys)
+    lss = np.log(np.asarray(sigs)[500::2])
+
+    def block_logp(s2):
+        sh = shared0._replace(sigmasq=jnp.float32(s2))
+        return float(jnp.sum(jax.vmap(
+            lambda g: nich.score_data(sh, g),
+            in_axes=1, out_axes=0)(state.groups[0])))
+
+    grid = np.linspace(-3, 5, 300)
+    scores = np.array([block_logp(np.exp(g)) for g in grid])
+    p = np.exp(scores - scores.max())
+    p /= p.sum()
+    cdf_grid = np.cumsum(p)
+
+    def cdf(x):
+        return np.interp(x, grid, cdf_grid, left=0.0, right=1.0)
+
+    d, pv = scipy.stats.kstest(lss, cdf)
+    assert pv > 1e-3, (d, pv, np.exp(lss.mean()))
+
+
+def test_runner_slice_hypers():
+    """Runner-integrated continuous hyper resampling: cl_slice + a nich
+    sigmasq slice step run every hyper_every sweeps and move the
+    hyperparameters."""
+    from distributions_tpu.inference import runner
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 1)], capacity=16, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 1.0, 'sigmasq': 1.0, 'nu': 1.}),)
+    X = (3.0 * rng.randn(128, 1)).astype(np.float32)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    _, _, log = runner.run_gibbs(
+        spec, cl, shareds, (jnp.asarray(X),), jax.random.PRNGKey(0),
+        passes=4, block=16, init='random:4', hyper_every=2,
+        cl_slice=True, hyper_slice={0: (('sigmasq', 'kappa'), 1.0)})
+    assert 'hyper_cl_alpha' in log.rows[1]
+    assert float(log.final_cl_model.alpha) != 1.0
+    assert float(log.final_shareds[0].sigmasq) != 1.0
