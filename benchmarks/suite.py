@@ -72,7 +72,7 @@ def bench_mixture():
     # BENCH_SAMPLING default cdf_fast); xla (default) uses the generic
     # blocked path.
     mode = os.environ.get('BENCH_SWEEP', 'xla')
-    sampling = os.environ.get('BENCH_SAMPLING', 'cdf_fast')
+    sampling = os.environ.get('BENCH_SAMPLING', 'gumbel')
     only = os.environ.get('BENCH_MODELS')
 
     Ks = [int(k) for k in os.environ.get(
@@ -95,7 +95,7 @@ def bench_mixture():
 
                 def sweep(st, an):
                     return gibbs.sweep_blocked_pallas_fused_mixed(
-                        spec, cl, shareds, st, (X,), an, BLOCK, 512, key,
+                        spec, cl, shareds, st, (X,), an, BLOCK, 1024, key,
                         cache, sampling=sampling, n_sweeps=5)
 
                 dt = timeit(lambda: sweep(state, assignments),

@@ -18,8 +18,8 @@ from distributions_tpu.ops import gibbs
 def run_gibbs(spec, cl_model, shareds, values, key, passes,
               block=4096, checkpoint_path=None, checkpoint_every=10,
               resume=True, init='prior', use_pallas=False,
-              grow_headroom=0.125, log=None, mesh=None, sampling='cdf',
-              block_rows=1024, hyper_grids=None, cl_grid=None,
+              grow_headroom=0.125, log=None, mesh=None, sampling='gumbel',
+              block_rows=2048, hyper_grids=None, cl_grid=None,
               hyper_every=10, hyper_sample=True,
               checkpoint_format='npz', hyper_slice=None, cl_slice=False):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
@@ -36,6 +36,10 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     posterior predictive) | 'random:K' (uniform over the first K slots —
     the scalable choice: both exact inits are R-step sequential scans,
     and the remote TPU compiler wedges on them for R ~ 1e6).
+
+    sampling defaults to 'gumbel' — measured faster than 'cdf' on TPU
+    (BENCH.md r4) and identical in distribution; both remain available
+    (plus 'argmax' and the '_host' CI variants).
 
     Hyperparameter resampling (the loom-style production loop the
     reference's downstream systems run on top of score_data_grid,
@@ -129,7 +133,7 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             spec, state = mx.grow_capacity(spec, state, 2 * spec.capacity)
             cache = None
         br = pk.auto_block_rows(spec.capacity, min(block_rows, block),
-                                block=block)
+                                block=block, sampling=sampling)
         fused_ok = (use_pallas and pk.supports_mixed_pallas(spec)
                     and spec.capacity % 128 == 0 and block % 512 == 0
                     and br is not None

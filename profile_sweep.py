@@ -20,8 +20,8 @@ assert jax.devices()[0].platform != 'cpu'
 
 import os
 R, C, REPS = 1048576, 1024, 10
-BLOCK = int(os.environ.get('BLOCK', 65536))
-BR = int(os.environ.get('BR', 1024))
+BLOCK = int(os.environ.get('BLOCK', 131072))
+BR = int(os.environ.get('BR', 2048))
 rng = np.random.RandomState(0)
 spec = mx.make_spec([(nich, 2)], capacity=C, empties=1)
 cl = clustering.PitmanYor.from_dict({'alpha': 100.0, 'd': 0.1})
