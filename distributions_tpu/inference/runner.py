@@ -68,11 +68,13 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     logger = log or diagnostics.SweepLogger()
     start_pass = 0
     assert checkpoint_format in ('npz', 'orbax'), checkpoint_format
-    if checkpoint_format == 'orbax' and hyper_grids:
+    if checkpoint_format == 'orbax' and (
+            hyper_grids or hyper_slice or cl_grid is not None or cl_slice):
         raise ValueError(
             "checkpoint_format='orbax' does not persist resampled "
-            "hyperparameters yet; use the npz envelope for hyper-grid "
-            "runs")
+            "hyperparameters (shareds/cl_model), so a resume would "
+            "silently revert them; use the npz envelope for runs with "
+            "hyper_grids/hyper_slice/cl_grid/cl_slice")
 
     if (resume and checkpoint_path and checkpoint_format == 'orbax'
             and os.path.isdir(checkpoint_path)):

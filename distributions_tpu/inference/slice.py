@@ -133,7 +133,7 @@ _IDENTITY_PARAMS = ('mu',)
 
 
 def slice_step_feature(key, spec, block_idx, shareds, state, params,
-                       n_steps=1, width=1.0):
+                       n_steps=1, width=1.0, bounds=None):
     """Resample scalar Shared leaves of block `block_idx` by
     coordinate-wise slice sampling of the block's score_data (the same
     objective hypers.grid_step_feature scores on a grid).
@@ -142,6 +142,11 @@ def slice_step_feature(key, spec, block_idx, shareds, state, params,
     [cols]-shaped; vector-valued fields like dd's `alphas` are not
     supported — use the grid).  Positive-constrained fields are sampled
     in log space (`mu` on the identity scale).
+
+    bounds: optional {param name: (lo, hi)} in the SAMPLED coordinate
+    (log space for positive params); defaults: identity params
+    unbounded, log-space params [-45, 45] (1e-20 .. 1e19).  The starting
+    coordinate is clipped into the bounds.
 
     Returns (new_shareds tuple, final shared for the block)."""
     block = spec.blocks[block_idx]
@@ -171,10 +176,17 @@ def slice_step_feature(key, spec, block_idx, shareds, state, params,
                         new = v
                     return block_logp(shared._replace(**{name: new}))
 
+                if bounds is not None and name in bounds:
+                    lo, hi = bounds[name]
+                elif ident:
+                    lo, hi = -jnp.inf, jnp.inf
+                else:
+                    lo, hi = -45.0, 45.0
                 x0 = flat[c] if ident else jnp.log(jnp.maximum(flat[c],
                                                                1e-30))
+                x0 = jnp.clip(x0, lo, hi)
                 x1 = slice_1d(kc, x0, logp_coord, width=width,
-                              lo=-30.0, hi=30.0)
+                              lo=lo, hi=hi)
                 v1 = x1 if ident else jnp.exp(x1)
                 cur = jnp.asarray(getattr(shared, name), jnp.float32)
                 if cur.ndim:

@@ -497,7 +497,21 @@ def _mixed_static_layout(spec, values, supports):
         idx_cols = []
         for i in table_blocks:
             v = np.asarray(values[i])
-            idx_cols.append(np.searchsorted(supports[i], v).astype(np.int32))
+            sup = np.asarray(supports[i])
+            idx = np.searchsorted(sup, v).astype(np.int32)
+            # every value must be IN the support: with the packed value
+            # axis an out-of-support index would land in the NEXT
+            # column's lane range and silently corrupt its scores and
+            # count table (pre-packing it fell into benign zero padding)
+            ok = (idx < len(sup)) & (sup[np.minimum(idx, len(sup) - 1)]
+                                     == v)
+            if not ok.all():
+                bad = np.unique(v[~ok])[:8]
+                raise ValueError(
+                    'block %d: values %s are not in the provided support '
+                    '(the fused table sweep requires supports to cover '
+                    'every observed value)' % (i, bad.tolist()))
+            idx_cols.append(idx)
         table_idx = jnp.asarray(np.concatenate(idx_cols, axis=1))
     else:
         table_idx = jnp.zeros((R, 0), jnp.int32)

@@ -20,10 +20,7 @@ import traceback
 def current_round(repo):
     rounds = [0]
     for name in os.listdir(repo):
-        m = re.match(r'(?:VERDICT|BENCH_r?)(\d+)', name)
-        if m:
-            rounds.append(int(m.group(1)))
-        m = re.match(r'BENCH_r(\d+)\.json', name)
+        m = re.match(r'(?:VERDICT|BENCH_r)(\d+)', name)
         if m:
             rounds.append(int(m.group(1)))
     return max(rounds) + 1

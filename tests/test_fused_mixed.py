@@ -406,3 +406,15 @@ def test_v2_kernel_stat_sums_match_xla_contraction():
     np.testing.assert_array_equal(np.asarray(cd), np.asarray(cd2))
     np.testing.assert_allclose(np.asarray(raw[0]), np.asarray(raw2[0]),
                                rtol=1e-5, atol=1e-3)
+
+
+def test_mixed_layout_rejects_uncovered_support():
+    """With the packed value axis an out-of-support index would land in
+    the NEXT column's lanes — the layout builder must reject supports
+    that do not cover every observed value instead."""
+    from distributions_tpu.models import gp as gp_mod
+    spec = mx.make_spec([(gp_mod, 1)], capacity=128, empties=1)
+    values = (jnp.asarray([[0], [1], [5]], jnp.int32),)
+    with pytest.raises(ValueError, match='not in the provided support'):
+        gibbs._mixed_static_layout(
+            spec, values, (np.asarray([0, 1], np.int32),))

@@ -172,3 +172,42 @@ def test_runner_slice_hypers():
     assert 'hyper_cl_alpha' in log.rows[1]
     assert float(log.final_cl_model.alpha) != 1.0
     assert float(log.final_shareds[0].sigmasq) != 1.0
+
+
+def test_runner_orbax_rejects_slice_hypers(tmp_path):
+    """Orbax checkpoints do not persist resampled hypers; the runner must
+    refuse the combination rather than silently reverting on resume."""
+    from distributions_tpu.inference import runner
+    spec = mx.make_spec([(nich, 1)], capacity=8, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 1.0, 'sigmasq': 1.0, 'nu': 1.}),)
+    X = jnp.zeros((16, 1), jnp.float32)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    with pytest.raises(ValueError, match='orbax'):
+        runner.run_gibbs(
+            spec, cl, shareds, (X,), jax.random.PRNGKey(0), passes=1,
+            block=16, init='random:4', cl_slice=True,
+            checkpoint_path=str(tmp_path / 'c'),
+            checkpoint_format='orbax')
+
+
+def test_slice_feature_bounds_override():
+    """Custom bounds let identity-scale mu reach large posteriors (the
+    default used to clamp at +-30)."""
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 1)], capacity=8, empties=1)
+    shared0 = nich.shared_from_dict(
+        {'mu': 0., 'kappa': 1.0, 'sigmasq': 1.0, 'nu': 1.})
+    X = (100.0 + rng.randn(100, 1)).astype(np.float32)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.0})
+    state = mx.state_from_assignments(
+        spec, cl, (shared0,), (jnp.asarray(X),),
+        jnp.zeros(100, jnp.int32))
+
+    sh = shared0
+    key = jax.random.PRNGKey(1)
+    for _ in range(30):
+        key, k = jax.random.split(key)
+        shs, sh = sl.slice_step_feature(
+            k, spec, 0, (sh,), state, ('mu',), width=20.0)
+    assert float(sh.mu) > 50.0, float(sh.mu)
