@@ -44,7 +44,8 @@ def main():
         'nproc': args.nproc,
         'devices_per_process': args.devices_per_process,
         'check': 'dryrun_multihost: 2-proc gloo group sweep assignments/'
-                 'counts bitwise-equal to single-process same-size mesh',
+                 'counts bitwise-equal to single-process same-size mesh; '
+                 'plus runner/2d-mesh/orbax worker modes',
     }
     try:
         ge.dryrun_multihost(args.nproc, args.devices_per_process)
@@ -55,6 +56,31 @@ def main():
         result['tail'] = (traceback.format_exc()[-2000:]
                           if not isinstance(e, AssertionError)
                           else str(e)[-2000:])
+
+    # the other multi-process surfaces, each a REAL 2-process gloo group
+    # (production runner w/ checkpoint, 2-D rows-x-components mesh, orbax
+    # per-host-parallel checkpoint round trip)
+    import subprocess
+    import sys as _sys
+    here = os.path.dirname(os.path.abspath(__file__))
+    for mode in ('runner', '2d', 'orbax'):
+        t1 = time.time()
+        cmd = [_sys.executable, '-m', 'pytest', '-x', '-q',
+               'tests/test_multiprocess.py', '-k', {
+                   'runner': 'runner_with_checkpoint',
+                   '2d': '2d_mesh',
+                   'orbax': 'orbax_roundtrip'}[mode]]
+        env = dict(os.environ)
+        env['JAX_PLATFORMS'] = 'cpu'
+        p = subprocess.run(cmd, cwd=here, env=env, capture_output=True,
+                           timeout=600)
+        result['mode_%s' % mode] = {
+            'ok': p.returncode == 0,
+            'elapsed_s': round(time.time() - t1, 1),
+            'tail': ('' if p.returncode == 0
+                     else p.stdout.decode(errors='replace')[-800:]),
+        }
+        result['ok'] = result['ok'] and p.returncode == 0
     result['elapsed_s'] = round(time.time() - t0, 1)
     with open(out, 'w') as fh:
         json.dump(result, fh, indent=1)
