@@ -312,11 +312,61 @@ def bench_hyper_grid():
         'value': round(G * C / dt, 1), 'unit': 'grid-cells/s'}))
 
 
+def bench_predictive():
+    """Serving-path density rate: log_predictive of held-out rows against
+    a fitted 1024-component state (collapsed posterior predictive — the
+    production scoring/serving shape; no reference analog, its serving
+    story is the same per-row loop as inference).  Metric: predictive
+    cell evaluations (rows x components x features) per second, plus
+    rows/s."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from distributions_tpu import clustering, mixture as mx
+    from distributions_tpu.models import nich
+
+    R = int(os.environ.get('BENCH_ROWS', 1048576))
+    C = int(os.environ.get('BENCH_CAP', 1024))
+    cols = 2
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, cols)], capacity=C, empties=1)
+    cl = clustering.PitmanYor.from_dict({'alpha': 100.0, 'd': 0.1})
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
+    centers = rng.randn(C - 8, cols).astype(np.float32)
+    labels = rng.randint(0, C - 8, R)
+    X = centers[labels] + 0.1 * rng.randn(R, cols).astype(np.float32)
+    state = mx.state_from_assignments(
+        spec, cl, shareds, (jnp.asarray(X),), jnp.asarray(labels))
+    Xq = jnp.asarray(centers[rng.randint(0, C - 8, R)]
+                     + 0.1 * rng.randn(R, cols), jnp.float32)
+
+    T = 8
+
+    @jax.jit
+    def run(Xq):
+        def body(carry, i):
+            lp = mx.log_predictive(spec, cl, shareds, state,
+                                   (Xq + 1e-6 * i,))
+            return carry + lp[0], ()
+        c, _ = lax.scan(body, jnp.float32(0),
+                        jnp.arange(T, dtype=jnp.float32))
+        return c
+
+    dt = timeit(run, Xq, iters=3) / T
+    print(json.dumps({
+        'metric': 'log_predictive_cells_per_sec', 'rows': R, 'C': C,
+        'features': cols,
+        'value': round(R * C * cols / dt, 1), 'unit': 'cells/s',
+        'rows_per_sec': round(R / dt, 1)}))
+
+
 SECTIONS = {
     'mixture': bench_mixture,
     'hyper_grid': bench_hyper_grid,
     'sample_from_scores': bench_sample_from_scores,
     'score_counts': bench_score_counts,
+    'predictive': bench_predictive,
     'sample_assignments': bench_sample_assignments,
     'special': bench_special,
 }
@@ -333,3 +383,4 @@ def main():
 
 if __name__ == '__main__':
     main()
+
