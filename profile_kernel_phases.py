@@ -90,6 +90,26 @@ def _variant_kernel(seed_ref, values_ref, cl_ref, coeff_ref, out_ref,
         out_ref[0, :] = jnp.max(scores, axis=1).astype(jnp.int32)
         return
 
+    if mode.endswith('bits16'):
+        # ONE 32-bit word per TWO cells: hi/lo 16-bit halves
+        bits = pltpu.prng_random_bits((scores.shape[0],
+                                       scores.shape[1] // 2))
+        w = pltpu.bitcast(bits, jnp.int32)
+        hi = jnp.right_shift(w, 16) & jnp.int32(0xFFFF)
+        lo = jnp.bitwise_and(w, jnp.int32(0xFFFF))
+        m = jnp.concatenate([hi, lo], axis=1)
+        total = scores + m.astype(jnp.float32) * 1e-9
+        out_ref[0, :] = jnp.argmax(total, axis=1).astype(jnp.int32)
+        return
+    if mode.endswith('bits'):
+        # bits + mask + cast + add + argmax, NO logs: isolates the PRNG
+        # generation + cheap-pass cost of the gumbel path
+        bits = pltpu.prng_random_bits(scores.shape)
+        m = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32),
+                            jnp.int32(0x00FFFFFF))
+        total = scores + m.astype(jnp.float32) * 1e-9
+        out_ref[0, :] = jnp.argmax(total, axis=1).astype(jnp.int32)
+        return
     sampling = 'gumbel' if mode.endswith('gumbel') else 'cdf'
     idx = pk._sample_from_kernel_scores(scores, sampling, jnp.log, jnp.exp)
     out_ref[0, :] = idx
