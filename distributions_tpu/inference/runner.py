@@ -10,7 +10,7 @@ import time
 import numpy as np
 import jax
 
-from distributions_tpu import mixture as mx, debug, diagnostics
+from distributions_tpu import mixture as mx, config, debug, diagnostics
 from distributions_tpu.io import checkpoint
 from distributions_tpu.ops import gibbs
 
@@ -21,7 +21,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
               grow_headroom=0.125, log=None, mesh=None, sampling='gumbel',
               block_rows=2048, hyper_grids=None, cl_grid=None,
               hyper_every=10, hyper_sample=True,
-              checkpoint_format='npz', hyper_slice=None, cl_slice=False):
+              checkpoint_format='npz', hyper_slice=None, cl_slice=False,
+              sweeps_per_step=1):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
 
     - resumes from `checkpoint_path` when it exists (bitwise-continuing the
@@ -59,6 +60,23 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     use_pallas=True, eligible specs route to the fused mixed kernel with
     the given `sampling` mode, which is a *different RNG stream* than the
     non-fused gumbel path — equal in distribution, not bitwise.
+
+    sweeps_per_step: how many whole sweeps each device program runs
+    (lax.scan inside jit on the fused paths).  The production-throughput
+    knob: with the measured ~28 ms/program launch tax of the tunneled
+    backend and a ~12 ms on-device sweep, per-sweep launches bound the
+    runner ~3x below kernel rate; sweeps_per_step=25-50 amortizes it to
+    <1 ms/sweep (BENCH.md "runner" row; the analog of the reference
+    benchmarking its production Mixture loop, benchmarks/mixture.cc:
+    104-158).  Host-side work — sync, validation, sweep_stats, logging,
+    hyper resampling, capacity-growth checks, checkpoints — happens at
+    STEP boundaries only; steps are clamped so hyper_every /
+    checkpoint_every / passes boundaries always land on a step edge
+    (semantics are preserved, just coarser diagnostics granularity:
+    one logger row per step covering `sweeps` sweeps).  Capacity growth
+    is likewise only detected between steps — with large
+    sweeps_per_step, size grow_headroom (or the initial capacity)
+    accordingly.
 
     Returns (state, assignments, logger).  Hyper-grid runs read the final
     resampled hyperparameters from `logger.final_shareds` /
@@ -127,7 +145,11 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     from distributions_tpu.ops import pallas_kernels as pk
     cache = None
 
-    for sweep in range(start_pass, passes):
+    hyper_active = bool(hyper_grids or hyper_slice or cl_grid is not None
+                        or cl_slice)
+    assert sweeps_per_step >= 1, sweeps_per_step
+    sweep = start_pass
+    while sweep < passes:
         # capacity growth needs host-addressable state; in multi-host runs
         # (global arrays) pre-size the capacity instead
         if (getattr(state.counts, 'is_fully_addressable', True)
@@ -142,6 +164,16 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                     and (jax.devices()[0].platform != 'cpu'
                          or sampling.startswith('argmax')
                          or sampling.endswith('_host')))
+
+        # clamp the step so every hyper/checkpoint/passes boundary lands
+        # exactly on a step edge: semantics match sweeps_per_step=1, and a
+        # resume from any checkpoint boundary re-aligns to the same step
+        # grid (same per-step key splits -> same RNG stream)
+        k = min(sweeps_per_step, passes - sweep)
+        if hyper_active and hyper_every:
+            k = min(k, hyper_every - sweep % hyper_every)
+        if checkpoint_path and checkpoint_every:
+            k = min(k, checkpoint_every - sweep % checkpoint_every)
 
         key, sub = jax.random.split(key)
         t0 = time.time()
@@ -160,11 +192,12 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                 state, assignments, cache = sharding.sharded_sweep_fused(
                     spec, cl_model, shareds, state, values, assignments,
                     sub, mesh, block, cache, block_rows=br,
-                    sampling=sampling)
+                    sampling=sampling, n_sweeps=k)
             else:
-                state, assignments = sharding.sharded_sweep_blocked(
-                    spec, cl_model, shareds, state, values, assignments,
-                    sub, mesh, block)
+                for sk in (jax.random.split(sub, k) if k > 1 else [sub]):
+                    state, assignments = sharding.sharded_sweep_blocked(
+                        spec, cl_model, shareds, state, values,
+                        assignments, sk, mesh, block)
         elif fused_ok:
             if cache is None:
                 cache = gibbs.build_stat_cache(
@@ -172,30 +205,39 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             state, assignments, cache = \
                 gibbs.sweep_blocked_pallas_fused_mixed(
                     spec, cl_model, shareds, state, values, assignments,
-                    block, br, sub, cache, sampling=sampling)
+                    block, br, sub, cache, sampling=sampling, n_sweeps=k)
         elif use_pallas:
-            state, assignments = gibbs.sweep_blocked_pallas(
-                spec, cl_model, shareds, state, values, assignments, block,
-                key=sub)
+            for sk in (jax.random.split(sub, k) if k > 1 else [sub]):
+                state, assignments = gibbs.sweep_blocked_pallas(
+                    spec, cl_model, shareds, state, values, assignments,
+                    block, key=sk)
         else:
-            state, assignments = gibbs.sweep_blocked(
-                spec, cl_model, shareds, state, values, assignments, block,
-                key=sub)
-        if getattr(assignments, 'is_fully_addressable', True):
-            np.asarray(assignments)  # sync (axon block_until_ready no-op)
+            for sk in (jax.random.split(sub, k) if k > 1 else [sub]):
+                state, assignments = gibbs.sweep_blocked(
+                    spec, cl_model, shareds, state, values, assignments,
+                    block, key=sk)
+        # sync on the SMALL [C] counts buffer: any output becomes host-
+        # readable only when the whole program finished, and reading the
+        # [R] assignment vector back costs ~1.4s/4MB through the tunneled
+        # backend (axon block_until_ready is a no-op; BENCH.md r1 note)
+        if getattr(state.counts, 'is_fully_addressable', True):
+            np.asarray(state.counts)
         else:
-            jax.block_until_ready(assignments)  # multi-host global array
+            jax.block_until_ready(state.counts)  # multi-host global array
         dt = time.time() - t0
+        sweep += k
 
         debug.validate_state(spec, _host_view(state))
-        if getattr(assignments, 'is_fully_addressable', True):
+        if (config.DEBUG_LEVEL >= 1
+                and getattr(assignments, 'is_fully_addressable', True)):
             debug.validate_assignments(spec, state, assignments)
         stats = diagnostics.sweep_stats(
             spec, cl_model, shareds, _host_view(state))
         stats['seconds'] = round(dt, 4)
+        if sweeps_per_step > 1:
+            stats['sweeps'] = k
 
-        if (hyper_grids or hyper_slice or cl_grid is not None or cl_slice) \
-                and (sweep + 1) % hyper_every == 0:
+        if hyper_active and sweep % hyper_every == 0:
             from distributions_tpu.inference import hypers as _hypers
             for block_idx, grid in (hyper_grids or {}).items():
                 key, sub = jax.random.split(key)
@@ -232,10 +274,11 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             # shareds (dpd value tables); rebuild next sweep
             cache = None
 
-        logger.log(sweep, **stats)
+        logger.log(sweep - 1, **stats)
 
-        if checkpoint_path and (sweep + 1) % checkpoint_every == 0:
-            _save(checkpoint_path, state, assignments, key, sweep + 1,
+        if checkpoint_path and sweep % checkpoint_every == 0 \
+                and sweep < passes:
+            _save(checkpoint_path, state, assignments, key, sweep,
                   logger, spec=spec, shareds=shareds, cl_model=cl_model,
                   fmt=checkpoint_format)
 

@@ -327,3 +327,86 @@ def test_resume_orbax_format_continues_exactly(tmp_path):
                                   np.asarray(st_b.counts))
     assert [r['sweep'] for r in log_b.rows] == [0, 1, 2, 3, 4]
     assert log_b.rows[-1]['score_data'] == log_a.rows[-1]['score_data']
+
+def test_runner_sweeps_per_step_boundaries():
+    """sweeps_per_step batches sweeps per device program but clamps each
+    step to hyper/checkpoint/passes boundaries: total sweeps and final
+    state invariants match the per-sweep loop semantics."""
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    state, an, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=10,
+        block=16, sweeps_per_step=4)
+    # steps: 4, 4, 2 (passes boundary)
+    assert [r['sweeps'] for r in log.rows] == [4, 4, 2]
+    assert [r['sweep'] for r in log.rows] == [3, 7, 9]
+    assert int(state.sample_size) == 64
+    assert int(np.asarray(state.counts).sum()) == 64
+
+
+def test_runner_sweeps_per_step_resume_bitwise(tmp_path):
+    """A multi-sweep-step run interrupted at a checkpoint boundary and
+    resumed equals the uninterrupted run bitwise (the per-step key grid
+    re-aligns because steps clamp to checkpoint_every boundaries)."""
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    key = jax.random.PRNGKey(7)
+
+    st_a, an_a, log_a = runner.run_gibbs(
+        spec, cl, shareds, values, key, passes=6, block=16, resume=False,
+        checkpoint_every=3, sweeps_per_step=3)
+
+    ckpt = str(tmp_path / 'spstep.ckpt')
+    runner.run_gibbs(
+        spec, cl, shareds, values, key, passes=3, block=16,
+        checkpoint_path=ckpt, checkpoint_every=3, resume=False,
+        sweeps_per_step=3)
+    st_b, an_b, log_b = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(999), passes=6,
+        block=16, checkpoint_path=ckpt, resume=True, checkpoint_every=3,
+        sweeps_per_step=3)
+
+    np.testing.assert_array_equal(np.asarray(an_a), np.asarray(an_b))
+    np.testing.assert_array_equal(np.asarray(st_a.counts),
+                                  np.asarray(st_b.counts))
+    assert [r['sweep'] for r in log_b.rows] == [2, 5]
+
+
+def test_runner_sweeps_per_step_hyper_boundary(tmp_path):
+    """Hyper resampling still happens exactly at hyper_every boundaries
+    when steps batch multiple sweeps."""
+    from distributions_tpu.inference import hypers
+
+    spec, shareds, values = _problem(R=128)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    grid = nich.Shared(
+        mu=jnp.zeros(3), kappa=jnp.full(3, 0.1),
+        sigmasq=jnp.asarray([0.01, 0.1, 10.0]), nu=jnp.ones(3))
+    state, an, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(2), passes=8,
+        block=32, hyper_grids={0: grid}, hyper_every=3,
+        sweeps_per_step=10)
+    # steps clamp to 3, 3, 2; hyper rows at sweep indices 2 and 5
+    hyper_rows = [r['sweep'] for r in log.rows if 'hyper_0' in r]
+    assert hyper_rows == [2, 5]
+    assert int(state.sample_size) == 128
+
+
+def test_runner_mesh_fused_sweeps_per_step():
+    """Mesh + fused kernel path honors sweeps_per_step (n_sweeps scan in
+    one program per step)."""
+    from distributions_tpu.parallel import sharding
+    spec, shareds, values, labels = _mesh_problem(R=8192)
+    mesh = sharding.make_mesh()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1., 'd': .1})
+    state, an, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=6,
+        block=512, init='random:8', mesh=mesh, use_pallas=True,
+        sampling='cdf_host', grow_headroom=0.0, sweeps_per_step=3)
+    assert [r['sweeps'] for r in log.rows] == [3, 3]
+    R = 8192
+    assert int(np.asarray(state.counts).sum()) == R
+    a = np.asarray(an)
+    purity = sum(np.bincount(labels[a == g]).max()
+                 for g in np.unique(a)) / R
+    assert purity > 0.95, purity
