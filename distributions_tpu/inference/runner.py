@@ -86,28 +86,29 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     logger = log or diagnostics.SweepLogger()
     start_pass = 0
     assert checkpoint_format in ('npz', 'orbax'), checkpoint_format
-    if checkpoint_format == 'orbax' and (
-            hyper_grids or hyper_slice or cl_grid is not None or cl_slice):
-        raise ValueError(
-            "checkpoint_format='orbax' does not persist resampled "
-            "hyperparameters (shareds/cl_model), so a resume would "
-            "silently revert them; use the npz envelope for runs with "
-            "hyper_grids/hyper_slice/cl_grid/cl_slice")
 
     if (resume and checkpoint_path and checkpoint_format == 'orbax'
             and os.path.isdir(checkpoint_path)):
         # per-host-parallel sharded restore (io/checkpoint_orbax.py);
-        # arrays land back on `mesh` (or the default device)
+        # arrays land back on `mesh` (or the default device).  The
+        # extended load also restores persisted hypers (resampling runs)
+        # and adopts the saved capacity (mid-run grow_capacity).
         from distributions_tpu.io import checkpoint_orbax
         R = int(np.shape(np.asarray(values[0]) if mesh is None
                          else values[0])[0])
-        state, assignments, saved_key, start_pass, rows = \
-            checkpoint_orbax.load_sharded(
-                checkpoint_path, spec, shareds, mesh=mesh, n_rows=R)
-        if saved_key is not None:
-            key = saved_key
-        if rows and not logger.rows:
-            logger.rows = rows
+        loaded = checkpoint_orbax.load_sharded(
+            checkpoint_path, spec, shareds, mesh=mesh, n_rows=R,
+            extended=True)
+        state, assignments = loaded.state, loaded.assignments
+        start_pass, spec = loaded.sweep, loaded.spec
+        if loaded.key is not None:
+            key = loaded.key
+        if loaded.logger_rows and not logger.rows:
+            logger.rows = loaded.logger_rows
+        if loaded.shareds is not None:
+            shareds = loaded.shareds
+        if loaded.cl_model is not None:
+            cl_model = loaded.cl_model
     elif (resume and checkpoint_path and checkpoint_format == 'npz'
             and os.path.exists(checkpoint_path)):
         state, assignments, saved_key, start_pass, rows = \
@@ -315,7 +316,8 @@ def _save(path, state, assignments, key, sweep, logger, spec=None,
         from distributions_tpu.io import checkpoint_orbax
         checkpoint_orbax.save_sharded(
             path, state, assignments=assignments, key=key, sweep=sweep,
-            logger_rows=logger.rows, force=True)
+            logger_rows=logger.rows, force=True, shareds=shareds,
+            cl_model=cl_model, spec=spec)
         return
     from distributions_tpu.parallel import distributed
     an = distributed.gather_rows(assignments)

@@ -18,16 +18,28 @@ for files the reference library must read.
 
 import json
 import os
+import shutil
+from collections import namedtuple
 
 import numpy as np
 import jax
 
 from distributions_tpu import mixture as mx
 
+LoadedCheckpoint = namedtuple('LoadedCheckpoint', [
+    'state', 'assignments', 'key', 'sweep', 'logger_rows',
+    'shareds', 'cl_model', 'spec'])
+
 
 def _checkpointer():
     import orbax.checkpoint as ocp
     return ocp.StandardCheckpointer()
+
+
+def _barrier(name):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
 
 
 def _discover_mesh(tree):
@@ -58,10 +70,26 @@ def _globalize(tree, mesh):
 
 
 def save_sharded(path, state, assignments=None, key=None, sweep=None,
-                 logger_rows=None, force=False):
+                 logger_rows=None, force=False, shareds=None,
+                 cl_model=None, spec=None):
     """Write a sharded checkpoint directory at `path` (must not exist
-    unless force=True, which overwrites — the periodic-checkpoint case).
-    Collective: every process must call with the same arguments."""
+    unless force=True, which ATOMICALLY replaces it — the periodic-
+    checkpoint case).  Collective: every process must call with the same
+    arguments.
+
+    Overwrite protocol (force=True with an existing checkpoint): the new
+    checkpoint is fully written to a `<path>.tmp-orbax` sibling first,
+    then swapped in with two renames (old -> `<path>.stale`, tmp ->
+    path) and the stale copy deleted — a crash at any point leaves a
+    complete checkpoint at `path` or at one of the siblings, never
+    nothing (the reference never needed this: single-process, write-once
+    files; SURVEY §5 failure-recovery row).
+
+    shareds/cl_model (+ spec, which defines the dict schemas): current
+    hyperparameters, persisted in meta.json via the same json schema as
+    the npz envelope (io.checkpoint._hypers_to_json) so hyper-resampling
+    runs can use the orbax format too.  The mixture capacity is also
+    recorded, so restore works after mid-run grow_capacity."""
     path = os.path.abspath(path)
     tree = {'state': dict(state._asdict())}
     if assignments is not None:
@@ -69,18 +97,36 @@ def save_sharded(path, state, assignments=None, key=None, sweep=None,
     if key is not None:
         tree['rng_key_data'] = jax.random.key_data(key)
     tree = _globalize(tree, _discover_mesh(tree))
+    swap = force and os.path.exists(path)
+    dest = path + '.tmp-orbax' if swap else path
     ckptr = _checkpointer()
-    ckptr.save(path, tree, force=force)
+    ckptr.save(dest, tree, force=force)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
-        meta = {'sweep': int(sweep or 0), 'logger_rows': logger_rows or []}
-        with open(os.path.join(path, 'meta.json'), 'w') as f:
+        meta = {'sweep': int(sweep or 0), 'logger_rows': logger_rows or [],
+                'capacity': int(state.counts.shape[0])}
+        if shareds is not None:
+            assert spec is not None, 'hypers serialization needs the spec'
+            from distributions_tpu.io import checkpoint as _ck
+            meta['hypers'] = json.loads(
+                _ck._hypers_to_json(shareds, cl_model, spec).decode())
+        with open(os.path.join(dest, 'meta.json'), 'w') as f:
             json.dump(meta, f)
     ckptr.close()
+    if swap:
+        _barrier('orbax-swap-written:%s' % path)
+        if jax.process_index() == 0:
+            stale = path + '.stale'
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+            os.rename(path, stale)
+            os.rename(dest, path)
+            shutil.rmtree(stale)
+        _barrier('orbax-swap-done:%s' % path)
 
 
 def load_sharded(path, spec, shareds, mesh=None, n_rows=None,
-                 state_sharding=None, rows_spec=None):
+                 state_sharding=None, rows_spec=None, extended=False):
     """Restore (state, assignments, key, sweep, logger_rows) from a
     sharded checkpoint, laying arrays onto `mesh`:
 
@@ -90,11 +136,32 @@ def load_sharded(path, spec, shareds, mesh=None, n_rows=None,
     - with mesh=None everything restores unsharded on the default device.
 
     The target mesh does NOT have to match the mesh at save time.
+
+    If the checkpoint was written after mid-run grow_capacity, the
+    restore template is grown to the SAVED capacity (meta.json
+    `capacity`), so state shapes always match the stored arrays; pass
+    extended=True to get a LoadedCheckpoint that also carries the
+    (possibly grown) spec and any persisted hyperparameters
+    (shareds/cl_model — None when the checkpoint has none).
     """
     import orbax.checkpoint as ocp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     path = os.path.abspath(path)
+    meta = None
+    if os.path.exists(os.path.join(path, 'meta.json')):
+        with open(os.path.join(path, 'meta.json')) as f:
+            meta = json.load(f)
+    if meta and meta.get('capacity') and \
+            int(meta['capacity']) != spec.capacity:
+        spec = spec._replace(capacity=int(meta['capacity']))
+    saved_shareds, saved_cl = None, None
+    if meta and meta.get('hypers') is not None:
+        from distributions_tpu.io import checkpoint as _ck
+        saved_shareds, saved_cl = _ck._hypers_from_json(
+            json.dumps(meta['hypers']).encode(), spec)
+    if saved_shareds is not None:
+        shareds = saved_shareds   # dpd: group-table shapes follow shareds
     template = mx.init(spec, shareds)
 
     def abstract(a, pspec):
@@ -113,7 +180,6 @@ def load_sharded(path, spec, shareds, mesh=None, n_rows=None,
         if hasattr(state_sharding, '_asdict') else state_sharding)
 
     target = {'state': abstract_state}
-    has_meta = os.path.exists(os.path.join(path, 'meta.json'))
     # discover optional leaves from the checkpoint's own metadata
     ckptr = _checkpointer()
     saved = ckptr.metadata(path)
@@ -140,8 +206,9 @@ def load_sharded(path, spec, shareds, mesh=None, n_rows=None,
     if 'rng_key_data' in restored:
         key = jax.random.wrap_key_data(restored['rng_key_data'])
     sweep, rows = 0, []
-    if has_meta:
-        with open(os.path.join(path, 'meta.json')) as f:
-            meta = json.load(f)
+    if meta:
         sweep, rows = int(meta['sweep']), meta['logger_rows']
+    if extended:
+        return LoadedCheckpoint(state, assignments, key, sweep, rows,
+                                saved_shareds, saved_cl, spec)
     return state, assignments, key, sweep, rows

@@ -78,3 +78,72 @@ def test_component_sharded_state_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(st2.counts),
                                   np.asarray(state.counts))
     assert st2.counts.sharding.spec == P('components')
+
+
+def test_atomic_overwrite_and_hypers_meta(tmp_path):
+    """force=True replaces an existing checkpoint via tmp+rename (no
+    window with no valid checkpoint; ADVICE r4) and meta.json carries
+    persisted hypers + capacity."""
+    import os
+    spec, shareds, values, an, state = _problem()
+    path = str(tmp_path / 'ckpt_atomic')
+
+    co.save_sharded(path, state, key=jax.random.PRNGKey(0), sweep=1,
+                    shareds=shareds, cl_model=PY, spec=spec)
+    shareds2 = (shareds[0]._replace(sigmasq=jnp.float32(2.5)),)
+    co.save_sharded(path, state, key=jax.random.PRNGKey(1), sweep=2,
+                    force=True, shareds=shareds2, cl_model=PY, spec=spec)
+    assert not os.path.exists(path + '.tmp-orbax')
+    assert not os.path.exists(path + '.stale')
+
+    loaded = co.load_sharded(path, spec, shareds, extended=True)
+    assert loaded.sweep == 2
+    assert loaded.shareds is not None
+    assert float(loaded.shareds[0].sigmasq) == 2.5
+    assert float(loaded.cl_model.alpha) == 1.0
+    assert loaded.spec.capacity == spec.capacity
+
+
+def test_load_adopts_saved_capacity(tmp_path):
+    """Restoring with a spec at the ORIGINAL capacity after the state
+    grew mid-run succeeds: the template follows meta.json's capacity
+    (ADVICE r4 medium: previously a shape-mismatch failure)."""
+    spec, shareds, values, an, state = _problem(C=32)
+    grown_spec, grown_state = mx.grow_capacity(spec, state, 64)
+    path = str(tmp_path / 'ckpt_grown')
+    co.save_sharded(path, grown_state, assignments=an,
+                    key=jax.random.PRNGKey(0), sweep=3)
+
+    loaded = co.load_sharded(path, spec, shareds, extended=True)
+    assert loaded.spec.capacity == 64
+    assert loaded.state.counts.shape[0] == 64
+    np.testing.assert_array_equal(np.asarray(loaded.state.counts),
+                                  np.asarray(grown_state.counts))
+
+
+def test_runner_orbax_resume_after_growth(tmp_path):
+    """End-to-end: orbax-format run that grows capacity, checkpoints,
+    and resumes with the caller's ORIGINAL (smaller) spec."""
+    from distributions_tpu.inference import runner
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 1)], capacity=4, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
+    values = (jnp.asarray(rng.randn(64, 1) * 5, jnp.float32),)
+    cl = clustering.PitmanYor.from_dict({'alpha': 20.0, 'd': 0.1})
+    ckpt = str(tmp_path / 'grow_orbax')
+
+    st1, an1, _ = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(1), passes=5,
+        block=16, checkpoint_path=ckpt, checkpoint_every=5,
+        checkpoint_format='orbax', resume=False)
+    assert np.asarray(st1.counts).shape[0] >= 8  # grew beyond 4
+
+    st2, an2, log2 = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(2), passes=7,
+        block=16, checkpoint_path=ckpt, checkpoint_format='orbax',
+        resume=True)
+    assert int(st2.sample_size) == 64
+    assert np.asarray(st2.counts).shape[0] >= 8
+    # restored history [0..4] + the two new sweeps, continuous numbering
+    assert [r['sweep'] for r in log2.rows] == list(range(7))

@@ -174,21 +174,43 @@ def test_runner_slice_hypers():
     assert float(log.final_shareds[0].sigmasq) != 1.0
 
 
-def test_runner_orbax_rejects_slice_hypers(tmp_path):
-    """Orbax checkpoints do not persist resampled hypers; the runner must
-    refuse the combination rather than silently reverting on resume."""
+def test_runner_orbax_persists_slice_hypers(tmp_path):
+    """Orbax checkpoints persist resampled hypers (meta.json carries the
+    same json schema as the npz envelope): a resume continues under the
+    RESAMPLED shareds/cl_model, not the originals (r4 VERDICT item 3 —
+    previously the combination was refused)."""
     from distributions_tpu.inference import runner
-    spec = mx.make_spec([(nich, 1)], capacity=8, empties=1)
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 1)], capacity=16, empties=1)
     shareds = (nich.shared_from_dict(
         {'mu': 0., 'kappa': 1.0, 'sigmasq': 1.0, 'nu': 1.}),)
-    X = jnp.zeros((16, 1), jnp.float32)
+    X = (3.0 * rng.randn(128, 1)).astype(np.float32)
     cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
-    with pytest.raises(ValueError, match='orbax'):
-        runner.run_gibbs(
-            spec, cl, shareds, (X,), jax.random.PRNGKey(0), passes=1,
-            block=16, init='random:4', cl_slice=True,
-            checkpoint_path=str(tmp_path / 'c'),
-            checkpoint_format='orbax')
+    ckpt = str(tmp_path / 'slice_orbax')
+    common = dict(block=16, init='random:4', hyper_every=2, cl_slice=True,
+                  hyper_slice={0: (('sigmasq',), 1.0)},
+                  checkpoint_path=ckpt, checkpoint_format='orbax',
+                  checkpoint_every=2)
+
+    _, _, log_a = runner.run_gibbs(
+        spec, cl, shareds, (jnp.asarray(X),), jax.random.PRNGKey(0),
+        passes=4, **common)
+    a_alpha = float(log_a.final_cl_model.alpha)
+    a_sigmasq = float(log_a.final_shareds[0].sigmasq)
+    assert a_alpha != 1.0 and a_sigmasq != 1.0
+
+    # interrupted at sweep 2 + resumed: must continue bitwise (same
+    # hypers restored, same key stream) to the same final hypers
+    import shutil
+    shutil.rmtree(ckpt)
+    runner.run_gibbs(
+        spec, cl, shareds, (jnp.asarray(X),), jax.random.PRNGKey(0),
+        passes=2, **common)
+    _, _, log_b = runner.run_gibbs(
+        spec, cl, shareds, (jnp.asarray(X),), jax.random.PRNGKey(99),
+        passes=4, **common)
+    assert float(log_b.final_cl_model.alpha) == a_alpha
+    assert float(log_b.final_shareds[0].sigmasq) == a_sigmasq
 
 
 def test_slice_feature_bounds_override():
