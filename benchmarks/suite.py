@@ -232,8 +232,15 @@ def bench_score_counts():
 
 def bench_sample_assignments():
     """PY sample_assignments rate (reference
-    benchmarks/sample_assignment_from_py.cc:49-90)."""
+    benchmarks/sample_assignment_from_py.cc:49-90).
+
+    Two implementations: the sequential CRP scan (reference-shaped; an
+    R-step chain the TPU compiler cannot take at R ~ 1e6 — benched at
+    small R) and the TPU-native stick-breaking sampler (same partition
+    distribution, two batched draws; benched to R = 1e6)."""
     import jax
+    from jax import lax
+    import jax.numpy as jnp
     from distributions_tpu import clustering
 
     model = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.2})
@@ -245,6 +252,26 @@ def bench_sample_assignments():
         print(json.dumps({
             'metric': 'py_sample_assignments_per_sec', 'size': size,
             'value': round(size / dt, 1), 'unit': 'samples/s'}))
+
+    for size in [10000, 1048576]:
+        T = max(4, (1 << 24) // size)
+
+        @jax.jit
+        def run(key):
+            def body(carry, i):
+                a = clustering.py_sample_assignments_stick(
+                    jax.random.fold_in(key, i), model, size,
+                    capacity=1024)
+                return carry + a[0], ()
+            c, _ = lax.scan(body, jnp.int32(0),
+                            jnp.arange(T, dtype=jnp.int32))
+            return c
+
+        dt = timeit(run, jax.random.PRNGKey(1), iters=3) / T
+        print(json.dumps({
+            'metric': 'py_sample_assignments_stick_per_sec',
+            'size': size, 'value': round(size / dt, 1),
+            'unit': 'samples/s', 'in_program_iters': T}))
 
 
 def bench_special():
@@ -361,6 +388,129 @@ def bench_predictive():
         'rows_per_sec': round(R / dt, 1)}))
 
 
+def bench_backends():
+    """Alternative inference backends on the SAME mixture model (the
+    'one log-prob graph, many backends' claim with device numbers —
+    reference analog: the reference benchmarks every hot path it ships).
+
+    - hmc: leapfrog gradient evaluations/s of the K-truncated mixture
+      log-prob (inference/logprob.py graph) at a production shape; the
+      gradient eval is the unit every HMC/NUTS step is built from.
+    - smc: particle-filter rows/s (particles x rows per second) for
+      smc_init with systematic resampling.  SMC is row-sequential by
+      construction, so R stays modest; the particle axis is the batch
+      axis the TPU parallelizes."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from distributions_tpu import clustering, mixture as mx
+    from distributions_tpu.models import nich
+    from distributions_tpu.inference import logprob as lp_mod, smc
+
+    rng = np.random.RandomState(0)
+    cl = clustering.PitmanYor.from_dict({'alpha': 5.0, 'd': 0.1})
+
+    # --- HMC/NUTS unit: value+grad of the mixture log-prob
+    R, K, cols = (int(os.environ.get('BENCH_HMC_ROWS', 262144)),
+                  int(os.environ.get('BENCH_HMC_K', 64)), 2)
+    spec = mx.make_spec([(nich, cols)], capacity=K, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.1, 'nu': 1.}),)
+    X = rng.randn(R, cols).astype(np.float32)
+    logprob_fn, init_fn = lp_mod.make_mixture_logprob(
+        spec, cl, shareds, (jnp.asarray(X),), K)
+    params0 = init_fn(jax.random.PRNGKey(0))
+    vg = jax.value_and_grad(logprob_fn)
+    T = 16
+
+    @jax.jit
+    def run(params):
+        def body(carry, i):
+            v, g = vg(jax.tree_util.tree_map(
+                lambda a: a + 1e-6 * i, params))
+            return carry + v, ()
+        c, _ = lax.scan(body, jnp.float32(0),
+                        jnp.arange(T, dtype=jnp.float32))
+        return c
+
+    dt = timeit(run, params0, iters=3) / T
+    print(json.dumps({
+        'metric': 'hmc_grad_evals_per_sec', 'rows': R, 'K': K,
+        'value': round(1.0 / dt, 2), 'unit': 'grad evals/s',
+        'cell_grads_per_sec': round(R * K * cols / dt, 1)}))
+
+    # --- SMC: particles x rows per second
+    Rs, P = (int(os.environ.get('BENCH_SMC_ROWS', 2048)),
+             int(os.environ.get('BENCH_SMC_PARTICLES', 256)))
+    spec_s = mx.make_spec([(nich, cols)], capacity=32, empties=1)
+    Xs = jnp.asarray(rng.randn(Rs, cols), jnp.float32)
+
+    fn = jax.jit(lambda k: smc.smc_init(
+        spec_s, cl, shareds, (Xs,), P, 64, k)[3])
+    dt = timeit(fn, jax.random.PRNGKey(1), iters=3)
+    print(json.dumps({
+        'metric': 'smc_particle_rows_per_sec', 'rows': Rs,
+        'particles': P,
+        'value': round(Rs * P / dt, 1), 'unit': 'particle-rows/s',
+        'rows_per_sec': round(Rs / dt, 1)}))
+
+
+def bench_kernel_sampler():
+    """The PRODUCTION sampler primitive: in-kernel PRNG gumbel-argmax
+    over a [BR, C] score block (pallas, pltpu.prng_random_bits +
+    minimal-op gumbel — the sampler every fused production sweep uses;
+    the sample_from_scores micro rows measure the jax.random XLA path
+    instead).  Reference analog: sample_from_scores.cc:35-80."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from distributions_tpu.ops import pallas_kernels as pk
+
+    if jax.devices()[0].platform == 'cpu':
+        print(json.dumps({'metric': 'kernel_gumbel_draws_per_sec',
+                          'skipped': 'pltpu PRNG needs TPU'}))
+        return
+
+    BR = 2048
+    for C in [256, 1024, 4096]:
+        rng = np.random.RandomState(0)
+        scores = jnp.asarray(rng.randn(BR, C), jnp.float32)
+
+        def kernel(seed_ref, scores_ref, out_ref):
+            pltpu.prng_seed(seed_ref[0])
+            out_ref[...] = pk._sample_from_kernel_scores(
+                scores_ref[...], 'gumbel', jnp.log, jnp.exp)[None, :]
+
+        call = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((1, BR), jnp.int32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BR, C), lambda: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, BR), lambda: (0, 0)),
+        )
+        T = max(16, (1 << 28) // (BR * C))
+
+        @jax.jit
+        def run(scores):
+            def body(carry, i):
+                out = call(jnp.asarray([i], jnp.int32), scores)
+                return carry + out[0, 0], ()
+            c, _ = lax.scan(body, jnp.int32(0),
+                            jnp.arange(T, dtype=jnp.int32))
+            return c
+
+        dt = timeit(run, scores, iters=3) / T
+        print(json.dumps({
+            'metric': 'kernel_gumbel_draws_per_sec', 'size': C,
+            'value': round(BR / dt, 1), 'unit': 'draws/s',
+            'elems_per_sec': round(BR * C / dt, 1),
+            'in_program_iters': T}))
+
+
 SECTIONS = {
     'mixture': bench_mixture,
     'hyper_grid': bench_hyper_grid,
@@ -368,6 +518,8 @@ SECTIONS = {
     'score_counts': bench_score_counts,
     'predictive': bench_predictive,
     'sample_assignments': bench_sample_assignments,
+    'backends': bench_backends,
+    'kernel_sampler': bench_kernel_sampler,
     'special': bench_special,
 }
 

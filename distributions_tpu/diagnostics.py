@@ -18,18 +18,36 @@ import jax
 import jax.numpy as jnp
 
 
-def sweep_stats(spec, cl_model, shareds, state):
-    """Summary dict of a mixture state (host-side scalars)."""
+def sweep_stats(spec, cl_model, shareds, state, counts=None,
+                defer_score=False, score=None):
+    """Summary dict of a mixture state (host-side scalars).
+
+    counts: optional host copy of state.counts — the runner reuses its
+    step-sync read so no extra device round-trip happens here.
+    score: optional already-computed joint-score device scalar (the
+    fused sweep programs emit it in-program: dispatching a separate
+    score program between steps costs ~0.26 s of tunnel program-switch
+    tax — measured r5).  defer_score=True returns the score as a
+    NOT-YET-READ device scalar under '_score_dev' instead of
+    'score_data': the caller reads it later (the runner: one step
+    later, when it is free), keeping logged values identical without
+    stalling."""
     from distributions_tpu import mixture as mx
-    counts = np.asarray(state.counts)
-    return {
-        'sample_size': int(state.sample_size),
+    if counts is None:
+        counts = np.asarray(state.counts)
+    row = {
+        'sample_size': int(counts.sum()),
         'nonempty_groups': int((counts > 0).sum()),
         'alive_groups': int(np.asarray(state.alive).sum()),
         'largest_group': int(counts.max()),
-        'score_data': float(
-            mx.score_data(spec, cl_model, shareds, state)),
     }
+    if score is None:
+        score = mx.score_data(spec, cl_model, shareds, state)
+    if defer_score:
+        row['_score_dev'] = score
+    else:
+        row['score_data'] = float(score)
+    return row
 
 
 def rhat(chains):

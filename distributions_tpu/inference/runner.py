@@ -149,14 +149,37 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     hyper_active = bool(hyper_grids or hyper_slice or cl_grid is not None
                         or cl_slice)
     assert sweeps_per_step >= 1, sweeps_per_step
+
+    # the current step's logger row is held PENDING until the next step
+    # boundary: its joint score is dispatched as a device program here
+    # and read one step later when it is long finished — per-step stats
+    # then cost zero device stalls (measured: synchronous small-program
+    # reads between steps added ~5 ms/sweep at sweeps_per_step=50)
+    pending = []
+
+    def flush_pending():
+        if not pending:
+            return
+        idx, row = pending.pop()
+        score = row.pop('_score_dev', None)
+        if score is not None:
+            row['score_data'] = float(score)
+        logger.log(idx, **row)
+
+    counts_host = None
     sweep = start_pass
     while sweep < passes:
         # capacity growth needs host-addressable state; in multi-host runs
-        # (global arrays) pre-size the capacity instead
-        if (getattr(state.counts, 'is_fully_addressable', True)
-                and mx.needs_growth(spec, state, grow_headroom)):
-            spec, state = mx.grow_capacity(spec, state, 2 * spec.capacity)
-            cache = None
+        # (global arrays) pre-size the capacity instead.  The check reuses
+        # the step-sync host copy of counts (no extra device round trip).
+        if getattr(state.counts, 'is_fully_addressable', True):
+            if counts_host is None:
+                counts_host = np.asarray(state.counts)
+            free = spec.capacity - int((counts_host > 0).sum())
+            if free < max(1, int(grow_headroom * spec.capacity)):
+                spec, state = mx.grow_capacity(
+                    spec, state, 2 * spec.capacity)
+                cache = None
         br = pk.auto_block_rows(spec.capacity, min(block_rows, block),
                                 block=block, sampling=sampling)
         fused_ok = (use_pallas and pk.supports_mixed_pallas(spec)
@@ -177,6 +200,7 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             k = min(k, checkpoint_every - sweep % checkpoint_every)
 
         key, sub = jax.random.split(key)
+        step_score = None   # joint score computed inside the fused program
         t0 = time.time()
         if mesh is not None:
             from distributions_tpu.parallel import sharding
@@ -190,10 +214,12 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                 if cache is None:
                     cache = gibbs.build_stat_cache(
                         spec, shareds, values, block, assignments)
-                state, assignments, cache = sharding.sharded_sweep_fused(
-                    spec, cl_model, shareds, state, values, assignments,
-                    sub, mesh, block, cache, block_rows=br,
-                    sampling=sampling, n_sweeps=k)
+                state, assignments, cache, step_score = \
+                    sharding.sharded_sweep_fused(
+                        spec, cl_model, shareds, state, values,
+                        assignments, sub, mesh, block, cache,
+                        block_rows=br, sampling=sampling, n_sweeps=k,
+                        with_score=True)
             else:
                 for sk in (jax.random.split(sub, k) if k > 1 else [sub]):
                     state, assignments = sharding.sharded_sweep_blocked(
@@ -203,10 +229,11 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             if cache is None:
                 cache = gibbs.build_stat_cache(
                     spec, shareds, values, block, assignments)
-            state, assignments, cache = \
+            state, assignments, cache, step_score = \
                 gibbs.sweep_blocked_pallas_fused_mixed(
                     spec, cl_model, shareds, state, values, assignments,
-                    block, br, sub, cache, sampling=sampling, n_sweeps=k)
+                    block, br, sub, cache, sampling=sampling, n_sweeps=k,
+                    with_score=True)
         elif use_pallas:
             for sk in (jax.random.split(sub, k) if k > 1 else [sub]):
                 state, assignments = gibbs.sweep_blocked_pallas(
@@ -220,11 +247,13 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         # sync on the SMALL [C] counts buffer: any output becomes host-
         # readable only when the whole program finished, and reading the
         # [R] assignment vector back costs ~1.4s/4MB through the tunneled
-        # backend (axon block_until_ready is a no-op; BENCH.md r1 note)
+        # backend (axon block_until_ready is a no-op; BENCH.md r1 note).
+        # The read doubles as the stats/growth-check host copy.
         if getattr(state.counts, 'is_fully_addressable', True):
-            np.asarray(state.counts)
+            counts_host = np.asarray(state.counts)
         else:
             jax.block_until_ready(state.counts)  # multi-host global array
+            counts_host = None
         dt = time.time() - t0
         sweep += k
 
@@ -233,10 +262,12 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                 and getattr(assignments, 'is_fully_addressable', True)):
             debug.validate_assignments(spec, state, assignments)
         stats = diagnostics.sweep_stats(
-            spec, cl_model, shareds, _host_view(state))
+            spec, cl_model, shareds, _host_view(state),
+            counts=counts_host, defer_score=True, score=step_score)
         stats['seconds'] = round(dt, 4)
         if sweeps_per_step > 1:
             stats['sweeps'] = k
+        flush_pending()   # previous step's row, its score long computed
 
         if hyper_active and sweep % hyper_every == 0:
             from distributions_tpu.inference import hypers as _hypers
@@ -275,14 +306,16 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             # shareds (dpd value tables); rebuild next sweep
             cache = None
 
-        logger.log(sweep - 1, **stats)
+        pending.append((sweep - 1, stats))
 
         if checkpoint_path and sweep % checkpoint_every == 0 \
                 and sweep < passes:
+            flush_pending()   # logger.rows must be complete in the save
             _save(checkpoint_path, state, assignments, key, sweep,
                   logger, spec=spec, shareds=shareds, cl_model=cl_model,
                   fmt=checkpoint_format)
 
+    flush_pending()
     if checkpoint_path:
         _save(checkpoint_path, state, assignments, key, passes, logger,
               spec=spec, shareds=shareds, cl_model=cl_model,

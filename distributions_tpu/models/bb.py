@@ -111,13 +111,16 @@ def score_value_batch(shared, group, values):
 
 
 def score_data(shared, group):
-    """\\cite{jordan2001more} Eqn 22 (reference dbg/models/bb.py:113-125)."""
-    alpha = shared.alpha + group.heads
-    beta = shared.beta + group.tails
-    score = gammaln(shared.alpha + shared.beta) - gammaln(alpha + beta)
-    score += gammaln(alpha) - gammaln(shared.alpha)
-    score += gammaln(beta) - gammaln(shared.beta)
-    return score
+    """\\cite{jordan2001more} Eqn 22 (reference dbg/models/bb.py:113-125).
+
+    Differences go through special.lgamma_ratio — cancellation-safe for
+    large alpha/beta (continuous hyper inference can visit them)."""
+    from distributions_tpu.special import lgamma_ratio
+    h = group.heads.astype(jnp.float32)
+    t = group.tails.astype(jnp.float32)
+    return (lgamma_ratio(shared.alpha, h)
+            + lgamma_ratio(shared.beta, t)
+            - lgamma_ratio(shared.alpha + shared.beta, h + t))
 
 
 def sampler_init(key, shared, group=None):

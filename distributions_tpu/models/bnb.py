@@ -117,13 +117,19 @@ def score_value_batch(shared, group, values):
 
 
 def score_data(shared, group):
-    """reference dbg/models/bnb.py:131-137."""
+    """reference dbg/models/bnb.py:131-137.
+
+    Differences go through special.lgamma_ratio (cancellation-safe for
+    large alpha/beta; the posterior increments pa - alpha / pb - beta
+    are exact by plus_group's construction)."""
+    from distributions_tpu.special import lgamma_ratio
     post = plus_group(shared, group)
     pa = post.alpha.astype(jnp.float32)
     pb = post.beta.astype(jnp.float32)
-    return (gammaln(shared.alpha + shared.beta) - gammaln(pa + pb)
-            + gammaln(pa) - gammaln(shared.alpha)
-            + gammaln(pb) - gammaln(shared.beta))
+    a0 = jnp.asarray(shared.alpha, jnp.float32)
+    b0 = jnp.asarray(shared.beta, jnp.float32)
+    return (lgamma_ratio(a0, pa - a0) + lgamma_ratio(b0, pb - b0)
+            - lgamma_ratio(a0 + b0, (pa - a0) + (pb - b0)))
 
 
 def sampler_init(key, shared, group=None):

@@ -116,12 +116,17 @@ def score_value_batch(shared, group, values):
 
 
 def score_data(shared, group):
-    """\\cite{jordan2001more} Eqn 22 (reference dbg/models/dd.py:103-118)."""
+    """\\cite{jordan2001more} Eqn 22 (reference dbg/models/dd.py:103-118).
+
+    Rising-factorial terms go through special.lgamma_ratio: the naive
+    gammaln(a + m) - gammaln(a) cancels to garbage (eventually exactly
+    0) in f32 once a >> m, which matters now that `alphas` is a
+    continuous slice-sampling target (inference/slice.py)."""
+    from distributions_tpu.special import lgamma_ratio
     a = shared.alphas
     m = group.counts.astype(jnp.float32)
-    score = jnp.sum(gammaln(a + m) - gammaln(a), axis=-1)
-    score += gammaln(jnp.sum(a))
-    score -= gammaln(jnp.sum(a) + jnp.sum(m, axis=-1))
+    score = jnp.sum(lgamma_ratio(a, m), axis=-1)
+    score -= lgamma_ratio(jnp.sum(a), jnp.sum(m, axis=-1))
     return score
 
 

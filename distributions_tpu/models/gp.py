@@ -129,13 +129,19 @@ def score_value_batch(shared, group, values):
 
 
 def score_data(shared, group):
-    """Marginal likelihood (reference dbg/models/gp.py:112-117)."""
+    """Marginal likelihood (reference dbg/models/gp.py:112-117).
+
+    gammaln(post) - gammaln(prior) goes through special.lgamma_ratio
+    (cancellation-safe at large shared.alpha; the count sum is exactly
+    post.alpha - shared.alpha by plus_group's construction)."""
+    from distributions_tpu.special import lgamma_ratio
     post = plus_group(shared, group)
     alpha = post.alpha.astype(jnp.float32)
     inv_beta = post.inv_beta.astype(jnp.float32)
-    return (gammaln(alpha) - gammaln(shared.alpha)
+    a0 = jnp.asarray(shared.alpha, jnp.float32)
+    return (lgamma_ratio(a0, alpha - a0)
             - alpha * jnp.log(inv_beta)
-            + shared.alpha * jnp.log(shared.inv_beta)
+            + a0 * jnp.log(shared.inv_beta)
             - group.log_prod)
 
 

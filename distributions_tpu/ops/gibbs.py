@@ -527,7 +527,7 @@ def _mixed_static_layout(spec, values, supports):
 def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
                                      assignments, block, block_rows, key,
                                      cache, sampling='cdf', supports=None,
-                                     n_sweeps=1):
+                                     n_sweeps=1, with_score=False):
     """v3 fused sweep for ANY mix of nich + bounded-support discrete blocks
     (bb/dd/dpd/gp/bnb): one Mosaic kernel per tile fuses product-form nich
     scoring, MXU table scoring for discrete columns, CDF/gumbel sampling
@@ -543,7 +543,10 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
 
     cache = build_stat_cache(...) on the current assignments (the generic
     raw-sums format).  n_sweeps > 1 scans whole sweeps inside one device
-    program.  Returns (state, assignments, new_cache)."""
+    program.  Returns (state, assignments, new_cache), plus the joint
+    mx.score_data scalar computed in-program when with_score=True (a
+    separately dispatched score program costs ~0.26 s of tunnel
+    program-switch tax per step — measured r5)."""
     from distributions_tpu.ops import pallas_kernels as pk
     from distributions_tpu import clustering as _cl
 
@@ -578,9 +581,9 @@ def sweep_blocked_pallas_fused_mixed(spec, cl_model, shareds, state, values,
 
     return _fused_mixed_run(
         spec, nich_blocks, quad_blocks, table_blocks, quad_groups, V,
-        block, block_rows, sampling, n_sweeps, table_vs, cl_model, shareds,
-        state, assignments, key, cache, nich_vals, quad_vals, table_idx,
-        supports_dev, W)
+        block, block_rows, sampling, n_sweeps, table_vs, with_score,
+        cl_model, shareds, state, assignments, key, cache, nich_vals,
+        quad_vals, table_idx, supports_dev, W)
 
 
 def _build_fused_inputs(spec, nich_blocks, quad_blocks, table_blocks, V,
@@ -708,12 +711,12 @@ def _fused_tile_core(spec, nich_blocks, quad_blocks, table_blocks,
     return new_assign, new_cd, tuple(new_sums)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
                      quad_groups, V, block, block_rows, sampling, n_sweeps,
-                     table_vs, cl_model, shareds, state, assignments, key,
-                     cache, nich_vals, quad_vals, table_idx, supports_dev,
-                     W):
+                     table_vs, with_score, cl_model, shareds, state,
+                     assignments, key, cache, nich_vals, quad_vals,
+                     table_idx, supports_dev, W):
     R = assignments.shape[0]
     n_blocks = R // block
     tiled_nich = nich_vals.reshape(n_blocks, block, -1)
@@ -761,6 +764,13 @@ def _fused_mixed_run(spec, nich_blocks, quad_blocks, table_blocks,
 
     (state, cache), tiled = lax.scan(
         one_sweep, (state, cache), jax.random.split(key, n_sweeps))
+    if with_score:
+        # joint score computed INSIDE this program: a separate small
+        # score_data program dispatched between fused steps costs
+        # ~0.26 s of program-switch tax through the tunneled backend
+        # (measured, BENCH.md r5) — in-program it is O(C * cols) free
+        return state, tiled[-1].reshape(R), cache, mx.score_data(
+            spec, cl_model, shareds, state)
     return state, tiled[-1].reshape(R), cache
 
 

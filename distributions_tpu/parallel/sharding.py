@@ -129,7 +129,7 @@ def sharded_sweep_blocked(spec, cl_model, shareds, state, values,
 def sharded_sweep_fused(spec, cl_model, shareds, state, values,
                         assignments, key, mesh, block, cache,
                         block_rows=512, sampling='cdf', supports=None,
-                        n_sweeps=1):
+                        n_sweeps=1, with_score=False):
     """Row-sharded blocked Gibbs with the v3 fused pallas kernel per shard.
 
     Each device runs the fused score+sample+stats kernel on its local
@@ -168,7 +168,8 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
 
     cache_specs = jax.tree_util.tree_map(lambda _: P(ROWS), cache)
     in_specs = (P(ROWS), P(ROWS), P(ROWS), P(), cache_specs, P())
-    out_specs = (P(), P(ROWS), cache_specs)
+    out_specs = ((P(), P(ROWS), cache_specs, P()) if with_score
+                 else (P(), P(ROWS), cache_specs))
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
@@ -229,6 +230,13 @@ def sharded_sweep_fused(spec, cl_model, shareds, state, values,
 
         (state, cache), tiled = lax.scan(
             one_sweep, (state, cache), jax.random.split(key, n_sweeps))
+        if with_score:
+            # in-program joint score (state is replicated inside the
+            # shard_map, so this is shard-local redundant [C]-math, no
+            # collective) — avoids a separately dispatched score program
+            # per step (tunnel program-switch tax; see ops/gibbs r5 note)
+            return (state, tiled[-1].reshape(local_R), cache,
+                    mx.score_data(spec, cl_model, shareds, state))
         return state, tiled[-1].reshape(local_R), cache
 
     return run(nich_vals, quad_vals, table_idx, state, cache, key)

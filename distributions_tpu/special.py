@@ -71,6 +71,24 @@ def lgamma_diff(x, y):
                                - 1.0 / (x * x * x)))
 
 
+def lgamma_ratio(x, y):
+    """lgamma(x + y) - lgamma(x) — the log rising factorial
+    log Γ(x+y)/Γ(x) — accurate for ALL x > 0, y >= 0.
+
+    Routes to the symbolically-differenced Stirling form (`lgamma_diff`)
+    at x >= 64 where the naive difference loses up to all f32
+    significance (found by the r4 logbeta audit; the r5 trigger: slice-
+    sampled dd alphas walked to alpha ~ 1e9 because the naive
+    score_data difference cancelled to exactly 0 there, turning the
+    posterior into a flat plateau).  Every conjugate score_data with a
+    gammaln(hyper + n) - gammaln(hyper) term should use this."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    direct = _gammaln(x + y) - _gammaln(x)
+    x_safe = jnp.maximum(x, 64.0)
+    return jnp.where(x >= 64.0, lgamma_diff(x_safe, y), direct)
+
+
 def log_beta(x, y):
     """log B(x, y) (reference special.hpp:173-182).
 

@@ -192,3 +192,50 @@ def test_log_partition_function_table():
     b = float(clustering.le_log_partition_function(model, 48))
     assert b > a
     assert (b - a) / a < 0.05
+
+
+def test_stick_breaking_matches_sequential_partition():
+    """py_sample_assignments_stick induces the SAME partition
+    distribution as the sequential CRP scan (exchangeability of the PY
+    partition): compare label-invariant statistics across many draws,
+    plus the exact 2-row co-clustering probability."""
+    model = clustering.PitmanYor.from_dict({'alpha': 2.0, 'd': 0.25})
+    n, reps = 40, 2000
+
+    keys = jax.random.split(jax.random.PRNGKey(0), reps)
+    stick = jax.vmap(lambda k: clustering.py_sample_assignments_stick(
+        k, model, n, capacity=256))(keys)
+    keys2 = jax.random.split(jax.random.PRNGKey(1), reps)
+    seq = jax.vmap(lambda k: clustering.py_sample_assignments(
+        k, model, n, capacity=64))(keys2)
+
+    def stats(A, cap):
+        A = np.asarray(A)
+        ks, lg = [], []
+        for row in A:
+            c = np.bincount(row, minlength=cap)
+            ks.append(int((c > 0).sum()))
+            lg.append(int(c.max()))
+        return np.array(ks), np.array(lg)
+
+    k_a, l_a = stats(stick, 256)
+    k_b, l_b = stats(seq, 64)
+
+    def tv(x, y, hi):
+        px = np.bincount(x, minlength=hi) / x.size
+        py = np.bincount(y, minlength=hi) / y.size
+        return 0.5 * np.abs(px - py).sum()
+
+    assert abs(k_a.mean() - k_b.mean()) < 0.35, (k_a.mean(), k_b.mean())
+    assert tv(k_a, k_b, 41) < 0.08, tv(k_a, k_b, 41)
+    assert tv(l_a, l_b, 41) < 0.08, tv(l_a, l_b, 41)
+
+    # exact: P(rows 0,1 together) = (1 - d) / (1 + alpha)
+    p_exact = (1 - 0.25) / (1 + 2.0)
+    pairs = jax.vmap(lambda k: clustering.py_sample_assignments_stick(
+        k, model, 2, capacity=256))(
+        jax.random.split(jax.random.PRNGKey(2), 4000))
+    pairs = np.asarray(pairs)
+    p_emp = (pairs[:, 0] == pairs[:, 1]).mean()
+    se = np.sqrt(p_exact * (1 - p_exact) / 4000)
+    assert abs(p_emp - p_exact) < 4 * se, (p_emp, p_exact)

@@ -362,3 +362,34 @@ def test_exact_onehot_matmul_is_exact():
         jnp.asarray(onehot_t), jnp.asarray(ints)))
     want_i = onehot_t.astype(np.float64) @ ints.astype(np.float64)
     np.testing.assert_array_equal(got_i, want_i.astype(np.float32))
+
+
+def test_tile_sums_fast_chunked_matches_unchunked(monkeypatch):
+    """The row-chunked one-hot contraction (large-capacity regimes where
+    a [C, B] one-hot exceeds the compile limit) produces the SAME cached
+    sums as the single contraction — counts exactly, stat sums to f32
+    accumulation order."""
+    from distributions_tpu import mixture as mx
+    from distributions_tpu.models import nich
+    from distributions_tpu import clustering
+
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(nich, 2)], capacity=16, empties=1)
+    shareds = (nich.shared_from_dict(
+        {'mu': 0., 'kappa': .1, 'sigmasq': 1., 'nu': 1.}),)
+    B = 4096
+    values = (jnp.asarray(rng.randn(B, 2), jnp.float32),)
+    an = jnp.asarray(rng.randint(0, 12, B), jnp.int32)
+    rs = mx.precompute_row_stats(spec, shareds, values)
+
+    cd_a, sums_a = mx.tile_sums_fast(spec, shareds, rs, an)
+    monkeypatch.setattr(mx, 'ONEHOT_CHUNK_LIMIT', 16 * 512)  # force 8 chunks
+    cd_b, sums_b = mx.tile_sums_fast(spec, shareds, rs, an)
+
+    np.testing.assert_array_equal(np.asarray(cd_a), np.asarray(cd_b))
+    for a, b in zip(sums_a, sums_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-4)
+    # counts agree with bincount ground truth
+    np.testing.assert_array_equal(
+        np.asarray(cd_a), np.bincount(np.asarray(an), minlength=16))

@@ -94,3 +94,43 @@ def test_log_stirling1_row_approx_vs_exact():
     rel = np.abs(approx[1:-1] - exact[1:-1]) / np.maximum(
         np.abs(exact[1:-1]), 1.0)
     assert rel.max() < 0.12, rel.max()
+
+
+def test_lgamma_ratio_accuracy_and_extremes():
+    """lgamma_ratio(x, y) = lgamma(x+y) - lgamma(x) must stay accurate
+    where the naive f32 difference loses all significance (x >> y) —
+    the r5 trigger: slice-sampled dd alphas walked to 1e9 because
+    score_data's naive difference cancelled to exactly 0 there."""
+    import scipy.special as ss
+    from distributions_tpu.special import lgamma_ratio
+
+    xs = np.array([0.5, 3.0, 63.0, 64.0, 1e3, 1e5, 1e8, 1e9], np.float64)
+    ys = np.array([0.0, 0.25, 1.0, 7.0, 120.0, 1e4], np.float64)
+    for x in xs:
+        for y in ys:
+            got = float(lgamma_ratio(jnp.float32(x), jnp.float32(y)))
+            want = ss.gammaln(x + y) - ss.gammaln(x)
+            tol = 1e-5 * max(1.0, abs(want))
+            assert abs(got - want) <= tol, (x, y, got, want)
+
+
+def test_score_data_safe_at_huge_hypers():
+    """Conjugate score_data must keep DECLINING past the data-supported
+    scale instead of cancelling to 0 (dd/bb/gp/bnb all route their
+    gammaln differences through lgamma_ratio now)."""
+    from distributions_tpu.models import dd, bb, gp, bnb
+
+    # asymmetric growth (one concentration -> inf) forces the predictive
+    # toward p=1 against 30 observed tails: the exact score declines
+    # ~ -30 log(a); the old naive difference plateaued then hit 0.0
+    g_dd = dd.Group(counts=jnp.asarray([120., 30.]))
+    s = [float(dd.score_data(
+        dd.Shared(alphas=jnp.asarray([a, 1.0], jnp.float32)), g_dd))
+        for a in (1e0, 1e4, 1e8)]
+    assert s[0] > s[1] > s[2], s
+
+    g_bb = bb.Group(heads=jnp.float32(120.), tails=jnp.float32(30.))
+    s = [float(bb.score_data(
+        bb.shared_from_dict({'alpha': a, 'beta': 1.0}), g_bb))
+        for a in (1e0, 1e4, 1e8)]
+    assert s[0] > s[1] > s[2], s
