@@ -49,17 +49,29 @@ def main():
 
     rng = np.random.RandomState(0)
     spec = mx.make_spec([(nich, FEATURES)], capacity=C, empties=1)
-    cl = clustering.PitmanYor.from_dict({'alpha': 100.0, 'd': 0.1})
+    # alpha=1 + C/8 true clusters: nonempty stays well under capacity, so
+    # the runner's (correct) capacity growth never fires mid-benchmark.
+    # bench.py's alpha=100 config would SATURATE the 1024 slots and make
+    # run_gibbs double capacity after the first step — every later step
+    # then measures a 2x-capacity problem (found via
+    # JAX_EXPLAIN_CACHE_MISSES; per-sweep cells are R*C*F either way).
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
     shareds = (nich.shared_from_dict(
         {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
-    centers = rng.randn(C - 8, FEATURES).astype(np.float32)
-    labels = rng.randint(0, C - 8, R)
+    n_true = C // 8 * 7
+    centers = rng.randn(n_true, FEATURES).astype(np.float32)
+    labels = rng.randint(0, n_true, R)
     X = centers[labels] + 0.1 * rng.randn(R, FEATURES).astype(np.float32)
     values = (jnp.asarray(X, jnp.float32),)
 
     use_pallas = jax.devices()[0].platform != 'cpu'
+    # warm-start from the generating labels (exactly bench.py's setup):
+    # a random init transiently scatters rows across ALL slots during
+    # the first sweeps, which (correctly) triggers capacity growth and
+    # turns the rest of the benchmark into a 2x-capacity problem
     common = dict(
-        block=BLOCK, init='random:%d' % (C - 8), use_pallas=use_pallas,
+        block=BLOCK, initial_assignments=jnp.asarray(labels, jnp.int32),
+        use_pallas=use_pallas,
         sampling=os.environ.get('RUNNER_SAMPLING', 'gumbel'),
         grow_headroom=0.0, sweeps_per_step=SPS)
 
@@ -90,6 +102,10 @@ def main():
             baseline = json.load(f).get('nich_cells_per_sec_K1000')
 
     step_secs = [r['seconds'] for r in log.rows]
+    print('# last row: %s; final capacity %d'
+          % ({k: v for k, v in log.rows[-1].items()
+              if k != 'score_data'}, np.asarray(state.counts).shape[0]),
+          file=sys.stderr)
     out = {
         'metric': 'runner_gibbs_cells_per_sec',
         'value': round(cells_per_sec, 1),

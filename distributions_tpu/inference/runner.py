@@ -9,6 +9,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from distributions_tpu import mixture as mx, config, debug, diagnostics
 from distributions_tpu.io import checkpoint
@@ -22,7 +23,7 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
               block_rows=2048, hyper_grids=None, cl_grid=None,
               hyper_every=10, hyper_sample=True,
               checkpoint_format='npz', hyper_slice=None, cl_slice=False,
-              sweeps_per_step=1):
+              sweeps_per_step=1, initial_assignments=None):
     """Run `passes` blocked collapsed-Gibbs sweeps with checkpoint/resume.
 
     - resumes from `checkpoint_path` when it exists (bitwise-continuing the
@@ -37,6 +38,9 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     posterior predictive) | 'random:K' (uniform over the first K slots —
     the scalable choice: both exact inits are R-step sequential scans,
     and the remote TPU compiler wedges on them for R ~ 1e6).
+    Alternatively pass `initial_assignments` (an [R] int32 vector) to
+    warm-start from an existing labeling (e.g. a previous run's output
+    or an external clustering); it overrides `init`.
 
     sampling defaults to 'gumbel' — measured faster than 'cdf' on TPU
     (BENCH.md r4) and identical in distribution; both remain available
@@ -123,6 +127,12 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             shareds = saved_shareds
         if saved_cl is not None:
             cl_model = saved_cl
+    elif initial_assignments is not None:
+        assignments = jnp.asarray(initial_assignments, jnp.int32) \
+            if not isinstance(initial_assignments, jax.Array) \
+            else initial_assignments.astype(jnp.int32)
+        state = mx.state_from_assignments(
+            spec, cl_model, shareds, values, assignments)
     else:
         state = mx.init(spec, shareds)
         key, sub = jax.random.split(key)
@@ -166,6 +176,11 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             row['score_data'] = float(score)
         logger.log(idx, **row)
 
+    # packed table value-axis width: part of the kernel's VMEM budget
+    # (spec+data static — computed once)
+    packed_v = (gibbs.packed_value_width(spec, values)
+                if use_pallas and pk.supports_mixed_pallas(spec) else 0)
+
     counts_host = None
     sweep = start_pass
     while sweep < passes:
@@ -181,7 +196,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                     spec, state, 2 * spec.capacity)
                 cache = None
         br = pk.auto_block_rows(spec.capacity, min(block_rows, block),
-                                block=block, sampling=sampling)
+                                block=block, sampling=sampling,
+                                packed_v=packed_v)
         fused_ok = (use_pallas and pk.supports_mixed_pallas(spec)
                     and spec.capacity % 128 == 0 and block % 512 == 0
                     and br is not None
@@ -199,6 +215,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         if checkpoint_path and checkpoint_every:
             k = min(k, checkpoint_every - sweep % checkpoint_every)
 
+        _dbg = os.environ.get('DISTTPU_RUNNER_DEBUG') == '1'
+        _tb = time.time()
         key, sub = jax.random.split(key)
         step_score = None   # joint score computed inside the fused program
         t0 = time.time()
@@ -249,12 +267,21 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         # [R] assignment vector back costs ~1.4s/4MB through the tunneled
         # backend (axon block_until_ready is a no-op; BENCH.md r1 note).
         # The read doubles as the stats/growth-check host copy.
+        if _dbg:
+            _tc = time.time()
         if getattr(state.counts, 'is_fully_addressable', True):
             counts_host = np.asarray(state.counts)
         else:
             jax.block_until_ready(state.counts)  # multi-host global array
             counts_host = None
         dt = time.time() - t0
+        if _dbg:
+            import sys as _sys
+            print('# step split %.0f call %.0f sync %.0f fused=%d '
+                  'C=%d br=%s k=%d'
+                  % ((t0 - _tb) * 1e3, (_tc - t0) * 1e3,
+                     (time.time() - _tc) * 1e3, int(fused_ok),
+                     spec.capacity, br, k), file=_sys.stderr)
         sweep += k
 
         debug.validate_state(spec, _host_view(state))

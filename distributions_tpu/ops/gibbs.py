@@ -215,6 +215,24 @@ def _block_supports(spec, values):
     return tuple(supports)
 
 
+def packed_value_width(spec, values, supports=None):
+    """Packed table value-axis width Vtot for this spec+data (0 when
+    there are no table blocks) — the extra VMEM-budget input of
+    pallas_kernels.auto_block_rows (the v3 kernel holds [BR, 2*Vtot]
+    and [BR, Vtot] buffers besides the [BR, C] scores; see
+    _mixed_static_layout for the packing)."""
+    from distributions_tpu.models import nich as nich_mod, niw as niw_mod
+    if supports is None:
+        supports = _block_supports(spec, values)
+    vs = [len(supports[i])
+          for i, b in enumerate(spec.blocks)
+          if b.module is not nich_mod and b.module is not niw_mod
+          for _ in range(b.cols)]
+    if not vs:
+        return 0
+    return ((sum(vs) + 127) // 128) * 128
+
+
 def sweep_blocked_pallas_mixed(spec, cl_model, shareds, state, values,
                                assignments, block, key, supports=None,
                                block_rows=256, backend='pallas'):

@@ -418,3 +418,36 @@ def test_mixed_layout_rejects_uncovered_support():
     with pytest.raises(ValueError, match='not in the provided support'):
         gibbs._mixed_static_layout(
             spec, values, (np.asarray([0, 1], np.int32),))
+
+
+def test_auto_block_rows_packed_value_budget():
+    """ADVICE r4: the VMEM budget must include the packed value-axis
+    width for table-heavy specs (the v3 kernel holds [BR, 2V]+[BR, V]
+    buffers besides [BR, C] scores)."""
+    from distributions_tpu.ops import pallas_kernels as pk
+    base_br = pk.auto_block_rows(1024, 2048, block=131072,
+                                 sampling='gumbel')
+    assert base_br == 2048
+    # a huge packed axis must shrink the admitted block rows
+    wide = pk.auto_block_rows(1024, 2048, block=131072,
+                              sampling='gumbel', packed_v=1024 * 3)
+    assert wide is not None and wide < base_br
+    tiny = pk.auto_block_rows(1024, 2048, block=131072,
+                              sampling='gumbel', packed_v=128)
+    assert tiny == 2048  # bb-sized packing: budget unchanged
+
+
+def test_packed_value_width():
+    from distributions_tpu.ops import gibbs
+    from distributions_tpu import mixture as mx
+    from distributions_tpu.models import nich, bb, dd
+
+    spec_n = mx.make_spec([(nich, 2)], capacity=64, empties=1)
+    v_n = (jnp.zeros((8, 2), jnp.float32),)
+    assert gibbs.packed_value_width(spec_n, v_n) == 0
+
+    spec_t = mx.make_spec([(bb, 1), (dd, 1)], capacity=64, empties=1)
+    v_t = (jnp.asarray([[0], [1]] * 4, jnp.int32),
+           jnp.asarray([[0], [1], [2], [3]] * 2, jnp.int32))
+    # supports 2 + 4 -> rounded up to one 128-lane axis
+    assert gibbs.packed_value_width(spec_t, v_t) == 128

@@ -410,3 +410,24 @@ def test_runner_mesh_fused_sweeps_per_step():
     purity = sum(np.bincount(labels[a == g]).max()
                  for g in np.unique(a)) / R
     assert purity > 0.95, purity
+
+
+def test_runner_initial_assignments_warm_start():
+    """Warm start from an explicit labeling (initial_assignments):
+    overrides init, state matches state_from_assignments of the input."""
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    an0 = jnp.asarray(np.arange(64) % 3, jnp.int32)
+    state, an, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=2,
+        block=16, initial_assignments=an0)
+    assert int(state.sample_size) == 64
+    assert int(np.asarray(state.counts).sum()) == 64
+    # zero-pass run returns exactly the warm-start state
+    st0, an_out, _ = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(0), passes=0,
+        block=16, initial_assignments=an0)
+    np.testing.assert_array_equal(np.asarray(an_out), np.asarray(an0))
+    np.testing.assert_array_equal(
+        np.asarray(st0.counts),
+        np.bincount(np.asarray(an0), minlength=spec.capacity))
