@@ -473,8 +473,8 @@ def bench_kernel_sampler():
                           'skipped': 'pltpu PRNG needs TPU'}))
         return
 
-    BR = 2048
     for C in [256, 1024, 4096]:
+        BR = pk.auto_block_rows(C, 2048) or 256
         rng = np.random.RandomState(0)
         scores = jnp.asarray(rng.randn(BR, C), jnp.float32)
 

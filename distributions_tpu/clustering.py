@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from distributions_tpu.special import gammaln
+from distributions_tpu.special import gammaln, logsumexp
 from distributions_tpu.random import sample_from_scores
 
 
@@ -397,7 +397,15 @@ def py_sample_assignments_stick(key, model, size, capacity=1024):
     v = jnp.clip(v, 1e-7, 1.0 - 1e-7).at[capacity - 1].set(1.0)
     logw = jnp.log(v) + jnp.concatenate(
         [jnp.zeros(1), jnp.cumsum(jnp.log1p(-v)[:-1])])
-    return jax.random.categorical(ka, logw, shape=(size,)).astype(jnp.int32)
+    # inverse-CDF draw: one [capacity] cumsum, then a vectorized
+    # compare-all search ([size, capacity] cheap compares — measured
+    # faster on TPU than both jax.random.categorical's gumbel matrix
+    # (~8 ops/cell) and searchsorted's default binary-search scan)
+    cdf = jnp.cumsum(jnp.exp(logw - logsumexp(logw)))
+    cdf = cdf.at[capacity - 1].set(1.0 + 1e-6)
+    u = jax.random.uniform(ka, (size,))
+    return jnp.searchsorted(cdf, u, side='right',
+                            method='compare_all').astype(jnp.int32)
 
 
 def sample_assignments(key, model, size, capacity=None):
