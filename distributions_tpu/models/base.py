@@ -82,6 +82,14 @@ def exact_onehot_matmul(onehot_t, flat):
     return p[..., :S] + p[..., S:2 * S] + p[..., 2 * S:]
 
 
+# Largest [K, B] one-hot materialized in one piece; beyond this the
+# contraction runs as a scan over row chunks (a [8192, 1e6] one-hot is
+# 8G as bf16 — whole-dataset segment sums at large capacity OOM'd HBM,
+# and a [8192, 131072] one blew the remote compiler; see also
+# mixture.tile_sums_fast)
+ONEHOT_CHUNK_LIMIT = 1 << 28
+
+
 def segment_sum(data, segment_ids, num_segments):
     """Segment sum as a one-hot matmul.
 
@@ -89,17 +97,45 @@ def segment_sum(data, segment_ids, num_segments):
     TPU; a [B, K] one-hot contraction instead rides the MXU — through
     `exact_onehot_matmul`, so the result is EXACT f32 regardless of the
     backend's default matmul precision.  Out-of-range segment ids drop,
-    matching scatter's mode='drop'.
+    matching scatter's mode='drop'.  When the [K, B] one-hot would
+    exceed ONEHOT_CHUNK_LIMIT elements the contraction scans over row
+    chunks, so whole-dataset sums scale to large capacities without an
+    HBM cliff.
     """
     data = jnp.asarray(data)
     segment_ids = jnp.asarray(segment_ids)
-    onehot_t = (jnp.arange(num_segments,
-                           dtype=segment_ids.dtype)[:, None]
-                == segment_ids[None, :])                     # [K, B]
     out_dtype = data.dtype
     B = data.shape[0]
     flat = data.astype(jnp.float32).reshape(B, -1)
-    acc = exact_onehot_matmul(onehot_t, flat)
+
+    def contract(ids, f):
+        onehot_t = (jnp.arange(num_segments, dtype=ids.dtype)[:, None]
+                    == ids[None, :])                         # [K, b]
+        return exact_onehot_matmul(onehot_t, f)
+
+    if B * num_segments <= ONEHOT_CHUNK_LIMIT:
+        acc = contract(segment_ids, flat)
+    else:
+        chunk = B
+        while chunk * num_segments > ONEHOT_CHUNK_LIMIT \
+                and chunk % 2 == 0 and chunk > 1024:
+            chunk //= 2
+        n = B // chunk
+        rem = B - n * chunk
+
+        def body(carry, xs):
+            ids_c, f_c = xs
+            return carry + contract(ids_c, f_c), None
+
+        acc, _ = jax.lax.scan(
+            body,
+            jnp.zeros((num_segments, flat.shape[1]), jnp.float32),
+            (segment_ids[:n * chunk].reshape(n, chunk),
+             flat[:n * chunk].reshape(n, chunk, -1)))
+        if rem:   # odd tail (B not a power-of-2 multiple of chunk)
+            acc = acc + contract(segment_ids[n * chunk:],
+                                 flat[n * chunk:])
+
     acc = acc.reshape((num_segments,) + data.shape[1:])
     if jnp.issubdtype(out_dtype, jnp.integer):
         acc = jnp.round(acc)

@@ -393,3 +393,22 @@ def test_tile_sums_fast_chunked_matches_unchunked(monkeypatch):
     # counts agree with bincount ground truth
     np.testing.assert_array_equal(
         np.asarray(cd_a), np.bincount(np.asarray(an), minlength=16))
+
+
+def test_segment_sum_chunked_matches(monkeypatch):
+    """base.segment_sum's row-chunked path (large B*K) is exact,
+    including a non-power-of-two tail chunk."""
+    rng = np.random.RandomState(3)
+    B, K = 1000, 16   # forces chunking with a tail under a tiny limit
+    data = rng.randn(B, 3).astype(np.float32)
+    ids = rng.randint(0, K, B).astype(np.int32)
+    want = np.zeros((K, 3), np.float32)
+    np.add.at(want, ids, data)
+
+    got_plain = np.asarray(base.segment_sum(
+        jnp.asarray(data), jnp.asarray(ids), K))
+    monkeypatch.setattr(base, 'ONEHOT_CHUNK_LIMIT', 16 * 125)
+    got_chunked = np.asarray(base.segment_sum(
+        jnp.asarray(data), jnp.asarray(ids), K))
+    np.testing.assert_allclose(got_plain, want, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(got_chunked, want, rtol=1e-6, atol=1e-4)
