@@ -49,12 +49,15 @@ def main():
 
     rng = np.random.RandomState(0)
     spec = mx.make_spec([(nich, FEATURES)], capacity=C, empties=1)
-    # alpha=1 + C/8 true clusters: nonempty stays well under capacity, so
-    # the runner's (correct) capacity growth never fires mid-benchmark.
-    # bench.py's alpha=100 config would SATURATE the 1024 slots and make
-    # run_gibbs double capacity after the first step — every later step
-    # then measures a 2x-capacity problem (found via
+    # alpha=1 + 7C/8 true clusters + a warm start from the generating
+    # labels: occupancy stays ~87% and growth (which fires at free == 0
+    # with grow_headroom=0) never triggers mid-benchmark.  bench.py's
+    # alpha=100 config SATURATES the 1024 slots and makes run_gibbs
+    # double capacity after the first step — every later step then
+    # measures a 2x-capacity problem (found via
     # JAX_EXPLAIN_CACHE_MISSES; per-sweep cells are R*C*F either way).
+    # Raising alpha/d or dropping the warm start reintroduces that risk;
+    # the '# last row' stderr line prints the final capacity to check.
     cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
     shareds = (nich.shared_from_dict(
         {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)

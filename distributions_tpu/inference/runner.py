@@ -91,13 +91,16 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
     start_pass = 0
     assert checkpoint_format in ('npz', 'orbax'), checkpoint_format
 
+    from distributions_tpu.io import checkpoint_orbax
     if (resume and checkpoint_path and checkpoint_format == 'orbax'
-            and os.path.isdir(checkpoint_path)):
+            and checkpoint_orbax.recover(checkpoint_path)):
         # per-host-parallel sharded restore (io/checkpoint_orbax.py);
-        # arrays land back on `mesh` (or the default device).  The
-        # extended load also restores persisted hypers (resampling runs)
-        # and adopts the saved capacity (mid-run grow_capacity).
-        from distributions_tpu.io import checkpoint_orbax
+        # recover() first heals a crash mid-overwrite-swap (a complete
+        # checkpoint at a .tmp-orbax/.stale sibling is renamed back —
+        # without this a mid-swap crash silently restarted from sweep
+        # 0).  The extended load also restores persisted hypers
+        # (resampling runs) and adopts the saved capacity (mid-run
+        # grow_capacity).
         R = int(np.shape(np.asarray(values[0]) if mesh is None
                          else values[0])[0])
         loaded = checkpoint_orbax.load_sharded(
@@ -190,8 +193,8 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         if getattr(state.counts, 'is_fully_addressable', True):
             if counts_host is None:
                 counts_host = np.asarray(state.counts)
-            free = spec.capacity - int((counts_host > 0).sum())
-            if free < max(1, int(grow_headroom * spec.capacity)):
+            if mx.needs_growth(spec, state, grow_headroom,
+                               counts=counts_host):
                 spec, state = mx.grow_capacity(
                     spec, state, 2 * spec.capacity)
                 cache = None
@@ -206,9 +209,14 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
                          or sampling.endswith('_host')))
 
         # clamp the step so every hyper/checkpoint/passes boundary lands
-        # exactly on a step edge: semantics match sweeps_per_step=1, and a
-        # resume from any checkpoint boundary re-aligns to the same step
-        # grid (same per-step key splits -> same RNG stream)
+        # exactly on a step edge.  RNG-stream contract: per-sweep keys
+        # are split(sub, k) for k>1 but `sub` itself for k=1, and the
+        # clamps depend on checkpoint/hyper settings — so the draw
+        # stream is a function of (sweeps_per_step, checkpoint_every,
+        # hyper_every, passes).  Bitwise resume holds when the resumed
+        # run uses the SAME settings (then the step grid re-aligns at
+        # any checkpoint boundary); different settings give a different
+        # — equally distributed — chain.
         k = min(sweeps_per_step, passes - sweep)
         if hyper_active and hyper_every:
             k = min(k, hyper_every - sweep % hyper_every)
@@ -285,8 +293,7 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
         sweep += k
 
         debug.validate_state(spec, _host_view(state))
-        if (config.DEBUG_LEVEL >= 1
-                and getattr(assignments, 'is_fully_addressable', True)):
+        if getattr(assignments, 'is_fully_addressable', True):
             debug.validate_assignments(spec, state, assignments)
         stats = diagnostics.sweep_stats(
             spec, cl_model, shareds, _host_view(state),
@@ -307,14 +314,24 @@ def run_gibbs(spec, cl_model, shareds, values, key, passes,
             # continuous alternatives (inference/slice.py): no grid design
             # needed — coordinate-wise slice sampling of the same
             # objectives.  hyper_slice: {block_idx: (param names tuple,
-            # width)}; cl_slice: True or a kwargs dict for
+            # width)} or {block_idx: kwargs dict for slice_step_feature
+            # minus the positional args, e.g. {'params': ('alphas',),
+            # 'width': 1.5, 'bounds': {...}, 'priors': {...}}} —
+            # concentration parameters NEED bounds or a prior (the
+            # flat-in-log posterior has an improper ridge; see
+            # slice_step_feature).  cl_slice: True or a kwargs dict for
             # slice_step_clustering.
-            for block_idx, (params, width) in (hyper_slice or {}).items():
+            for block_idx, cfg in (hyper_slice or {}).items():
                 from distributions_tpu.inference import slice as _slice
                 key, sub = jax.random.split(key)
+                if isinstance(cfg, dict):
+                    kw = dict(cfg)
+                    params = tuple(kw.pop('params'))
+                else:
+                    params, width = cfg
+                    params, kw = tuple(params), {'width': width}
                 shareds, sh = _slice.slice_step_feature(
-                    sub, spec, block_idx, shareds, state, tuple(params),
-                    width=width)
+                    sub, spec, block_idx, shareds, state, params, **kw)
                 stats['hyper_slice_%d' % block_idx] = 1
             if cl_grid is not None:
                 key, sub = jax.random.split(key)

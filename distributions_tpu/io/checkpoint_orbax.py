@@ -42,6 +42,47 @@ def _barrier(name):
         multihost_utils.sync_global_devices(name)
 
 
+def _complete(path):
+    """A checkpoint directory is complete once meta.json exists — it is
+    written by process 0 only after ckptr.save + wait_until_finished."""
+    return os.path.isdir(path) and \
+        os.path.exists(os.path.join(path, 'meta.json'))
+
+
+def recover(path):
+    """Recover from a crash mid-overwrite-swap (see save_sharded):
+    if `path` is missing but a COMPLETE checkpoint sits at the
+    `.tmp-orbax` (newer) or `.stale` (previous) sibling, rename it into
+    place.  Returns True iff a complete checkpoint exists at `path`
+    afterwards.  Idempotent; the runner calls it before resuming.
+    Multi-process: process 0 performs the renames, everyone barriers."""
+    path = os.path.abspath(path)
+    if jax.process_count() > 1:
+        if jax.process_index() == 0:
+            _recover_local(path)
+        _barrier('orbax-recover:%s' % path)
+        return _complete(path)
+    return _recover_local(path)
+
+
+def _recover_local(path):
+    if _complete(path):
+        return True
+    if os.path.isdir(path):
+        # partial write at path itself: unusable, prefer the siblings
+        shutil.rmtree(path)
+    for sib in (path + '.tmp-orbax', path + '.stale'):
+        if _complete(sib):
+            os.rename(sib, path)
+            # any remaining sibling is now obsolete (the .stale copy
+            # after recovering the newer .tmp-orbax)
+            for left in (path + '.tmp-orbax', path + '.stale'):
+                if os.path.isdir(left):
+                    shutil.rmtree(left)
+            return True
+    return False
+
+
 def _discover_mesh(tree):
     from jax.sharding import NamedSharding
     for leaf in jax.tree_util.tree_leaves(tree):
@@ -154,6 +195,15 @@ def load_sharded(path, spec, shareds, mesh=None, n_rows=None,
             meta = json.load(f)
     if meta and meta.get('capacity') and \
             int(meta['capacity']) != spec.capacity:
+        if not extended:
+            # silently handing back a state at a different capacity than
+            # the caller's spec would fail far from the load (r5 self-
+            # review); only the extended form can return the grown spec
+            raise ValueError(
+                'checkpoint capacity %d != spec.capacity %d (the run '
+                'grew mid-flight); call load_sharded(..., extended=True) '
+                'and use the returned spec' %
+                (int(meta['capacity']), spec.capacity))
         spec = spec._replace(capacity=int(meta['capacity']))
     saved_shareds, saved_cl = None, None
     if meta and meta.get('hypers') is not None:

@@ -366,11 +366,11 @@ def tile_sums_fast(spec, shareds, row_stats, assignments):
     if B * C <= ONEHOT_CHUNK_LIMIT:
         acc = contract(assignments, allflat)
     else:
-        chunk = B
-        while chunk * C > ONEHOT_CHUNK_LIMIT and chunk % 2 == 0 \
-                and chunk > 1024:
-            chunk //= 2
+        # ceil-div chunking: chunk*C <= limit holds for every tile size
+        # (see base.segment_sum for the same scheme + rationale)
+        chunk = max(1, ONEHOT_CHUNK_LIMIT // C)
         n = B // chunk
+        rem = B - n * chunk
 
         def body(carry, xs):
             ids_c, flat_c = xs
@@ -378,8 +378,11 @@ def tile_sums_fast(spec, shareds, row_stats, assignments):
 
         acc, _ = jax.lax.scan(
             body, jnp.zeros((C, allflat.shape[1]), jnp.float32),
-            (assignments.reshape(n, chunk),
-             allflat.reshape(n, chunk, -1)))
+            (assignments[:n * chunk].reshape(n, chunk),
+             allflat[:n * chunk].reshape(n, chunk, -1)))
+        if rem:
+            acc = acc + contract(assignments[n * chunk:],
+                                 allflat[n * chunk:])
 
     counts_delta = jnp.round(acc[:, 0]).astype(jnp.int32)
     sums = []
@@ -509,9 +512,18 @@ def grow_capacity(spec, state, new_capacity):
         groups=groups)
 
 
-def needs_growth(spec, state, headroom=0.125):
-    """True when fewer than `headroom * capacity` slots remain free."""
-    free = spec.capacity - int(np.asarray(nonempty_group_count(state)))
+def needs_growth(spec, state, headroom=0.125, counts=None):
+    """True when fewer than `headroom * capacity` slots remain free.
+
+    counts: optional host copy of state.counts — callers that already
+    hold one (the runner's step-sync read) avoid dispatching the
+    nonempty_group_count program, which costs ~0.26 s of tunnel
+    program-switch tax between fused steps (BENCH.md r5)."""
+    if counts is not None:
+        nonempty = int((np.asarray(counts) > 0).sum())
+    else:
+        nonempty = int(np.asarray(nonempty_group_count(state)))
+    free = spec.capacity - nonempty
     return free < max(1, int(headroom * spec.capacity))
 
 

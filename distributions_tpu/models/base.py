@@ -116,10 +116,10 @@ def segment_sum(data, segment_ids, num_segments):
     if B * num_segments <= ONEHOT_CHUNK_LIMIT:
         acc = contract(segment_ids, flat)
     else:
-        chunk = B
-        while chunk * num_segments > ONEHOT_CHUNK_LIMIT \
-                and chunk % 2 == 0 and chunk > 1024:
-            chunk //= 2
+        # ceil-div chunking: chunk*K <= limit HOLDS for every B/K (a
+        # halve-while-even scheme silently kept oversized chunks for
+        # odd B — r5 self-review)
+        chunk = max(1, ONEHOT_CHUNK_LIMIT // num_segments)
         n = B // chunk
         rem = B - n * chunk
 
@@ -132,7 +132,7 @@ def segment_sum(data, segment_ids, num_segments):
             jnp.zeros((num_segments, flat.shape[1]), jnp.float32),
             (segment_ids[:n * chunk].reshape(n, chunk),
              flat[:n * chunk].reshape(n, chunk, -1)))
-        if rem:   # odd tail (B not a power-of-2 multiple of chunk)
+        if rem:   # tail when chunk does not divide B
             acc = acc + contract(segment_ids[n * chunk:],
                                  flat[n * chunk:])
 

@@ -119,17 +119,18 @@ def score_value_batch(shared, group, values):
 def score_data(shared, group):
     """reference dbg/models/bnb.py:131-137.
 
-    Differences go through special.lgamma_ratio (cancellation-safe for
-    large alpha/beta; the posterior increments pa - alpha / pb - beta
-    are exact by plus_group's construction)."""
+    Differences go through special.lgamma_ratio with the increments
+    built from RAW group stats (r*count, sum) — reconstructing them as
+    post - prior absorbs to 0 in f32 once the prior >> the increment,
+    recreating the flat plateau the fix removes (r5 self-review)."""
     from distributions_tpu.special import lgamma_ratio
-    post = plus_group(shared, group)
-    pa = post.alpha.astype(jnp.float32)
-    pb = post.beta.astype(jnp.float32)
     a0 = jnp.asarray(shared.alpha, jnp.float32)
     b0 = jnp.asarray(shared.beta, jnp.float32)
-    return (lgamma_ratio(a0, pa - a0) + lgamma_ratio(b0, pb - b0)
-            - lgamma_ratio(a0 + b0, (pa - a0) + (pb - b0)))
+    ya = jnp.asarray(shared.r, jnp.float32) \
+        * jnp.asarray(group.count, jnp.float32)
+    yb = jnp.asarray(group.sum, jnp.float32)
+    return (lgamma_ratio(a0, ya) + lgamma_ratio(b0, yb)
+            - lgamma_ratio(a0 + b0, ya + yb))
 
 
 def sampler_init(key, shared, group=None):

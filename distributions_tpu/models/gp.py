@@ -132,16 +132,20 @@ def score_data(shared, group):
     """Marginal likelihood (reference dbg/models/gp.py:112-117).
 
     gammaln(post) - gammaln(prior) goes through special.lgamma_ratio
-    (cancellation-safe at large shared.alpha; the count sum is exactly
-    post.alpha - shared.alpha by plus_group's construction)."""
+    with the RAW group count sum as the increment — reconstructing it as
+    post.alpha - shared.alpha would absorb to 0 in f32 once
+    shared.alpha >> sum (ulp(1e9) = 64), recreating the flat plateau the
+    cancellation fix exists to remove (r5 self-review)."""
     from distributions_tpu.special import lgamma_ratio
-    post = plus_group(shared, group)
-    alpha = post.alpha.astype(jnp.float32)
-    inv_beta = post.inv_beta.astype(jnp.float32)
     a0 = jnp.asarray(shared.alpha, jnp.float32)
-    return (lgamma_ratio(a0, alpha - a0)
-            - alpha * jnp.log(inv_beta)
-            + a0 * jnp.log(shared.inv_beta)
+    ib0 = jnp.asarray(shared.inv_beta, jnp.float32)
+    S = jnp.asarray(group.sum, jnp.float32)
+    cnt = jnp.asarray(group.count, jnp.float32)
+    # -(a0+S) log(ib0+cnt) + a0 log(ib0), differenced symbolically:
+    # the direct form cancels two ~a0*log(ib) magnitudes
+    return (lgamma_ratio(a0, S)
+            - a0 * jnp.log1p(cnt / ib0)
+            - S * jnp.log(ib0 + cnt)
             - group.log_prod)
 
 

@@ -72,13 +72,26 @@ def main():
                    'orbax': 'orbax_roundtrip'}[mode]]
         env = dict(os.environ)
         env['JAX_PLATFORMS'] = 'cpu'
-        p = subprocess.run(cmd, cwd=here, env=env, capture_output=True,
-                           timeout=600)
+        # one retry: sequential gloo groups occasionally poison the next
+        # group's socket setup (worker 0 stalls ~300 s into the
+        # coordination-service timeout, then the shutdown barrier fails;
+        # the identical test passes standalone and on retry — an infra
+        # race in gloo port reuse, not a product path).  Retries are
+        # recorded so the artifact stays honest.
+        attempts = 0
+        while True:
+            attempts += 1
+            p = subprocess.run(cmd, cwd=here, env=env,
+                               capture_output=True, timeout=600)
+            if p.returncode == 0 or attempts >= 2:
+                break
+            time.sleep(5)
         result['mode_%s' % mode] = {
             'ok': p.returncode == 0,
+            'attempts': attempts,
             'elapsed_s': round(time.time() - t1, 1),
             'tail': ('' if p.returncode == 0
-                     else p.stdout.decode(errors='replace')[-800:]),
+                     else p.stdout.decode(errors='replace')[-4000:]),
         }
         result['ok'] = result['ok'] and p.returncode == 0
     result['elapsed_s'] = round(time.time() - t0, 1)

@@ -163,12 +163,20 @@ def mode_orbax():
             block=4)
     distributed.sync((state, assignments))
 
+    import sys as _sys
+
+    def _mark(msg):
+        print('[worker %d] %s' % (jax.process_index(), msg), flush=True)
+
     ckpt = out_path + '.orbax'
+    _mark('save start')
     checkpoint_orbax.save_sharded(ckpt, state, assignments=assignments,
                                   key=key, sweep=2,
                                   logger_rows=[[2, 0.0]])
+    _mark('save done, load start')
     state_r, an_r, key_r, sweep_r, rows_r = checkpoint_orbax.load_sharded(
         ckpt, spec, shareds, mesh=mesh, n_rows=R)
+    _mark('load done')
     assert sweep_r == 2 and rows_r == [[2, 0.0]]
     # restored arrays equal the live ones (each process checks its shards)
     for a, b in zip(jax.tree_util.tree_leaves(state),

@@ -147,3 +147,46 @@ def test_runner_orbax_resume_after_growth(tmp_path):
     assert np.asarray(st2.counts).shape[0] >= 8
     # restored history [0..4] + the two new sweeps, continuous numbering
     assert [r['sweep'] for r in log2.rows] == list(range(7))
+
+
+def test_recover_from_mid_swap_crash(tmp_path):
+    """A crash between the overwrite-swap's two renames leaves `path`
+    missing with complete checkpoints at the siblings; recover() heals
+    it (preferring the newer .tmp-orbax) instead of silently restarting
+    from sweep 0 (r5 self-review)."""
+    import os
+    spec, shareds, values, an, state = _problem()
+    path = str(tmp_path / 'ck')
+    co.save_sharded(path, state, key=jax.random.PRNGKey(0), sweep=1)
+    path2 = str(tmp_path / 'ck2')
+    co.save_sharded(path2, state, key=jax.random.PRNGKey(1), sweep=2)
+
+    # simulate the crash window: old at .stale, new at .tmp-orbax
+    os.rename(path, path + '.stale')
+    os.rename(path2, path + '.tmp-orbax')
+    assert not os.path.exists(path)
+
+    assert co.recover(path)
+    loaded = co.load_sharded(path, spec, shareds, extended=True)
+    assert loaded.sweep == 2          # the newer checkpoint won
+    assert not os.path.exists(path + '.tmp-orbax')
+
+    # stale-only variant (crash before the tmp write completed)
+    os.rename(path, path + '.stale')
+    assert co.recover(path)
+    loaded = co.load_sharded(path, spec, shareds, extended=True)
+    assert loaded.sweep == 2
+    # nothing to recover -> False
+    assert not co.recover(str(tmp_path / 'missing'))
+
+
+def test_nonextended_load_rejects_capacity_mismatch(tmp_path):
+    """Without extended=True a capacity-mismatched restore raises
+    immediately instead of returning a state the caller's spec cannot
+    describe (r5 self-review)."""
+    spec, shareds, values, an, state = _problem(C=32)
+    grown_spec, grown_state = mx.grow_capacity(spec, state, 64)
+    path = str(tmp_path / 'ck_g')
+    co.save_sharded(path, grown_state, sweep=1)
+    with pytest.raises(ValueError, match='extended=True'):
+        co.load_sharded(path, spec, shareds)

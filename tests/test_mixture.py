@@ -383,7 +383,7 @@ def test_tile_sums_fast_chunked_matches_unchunked(monkeypatch):
     rs = mx.precompute_row_stats(spec, shareds, values)
 
     cd_a, sums_a = mx.tile_sums_fast(spec, shareds, rs, an)
-    monkeypatch.setattr(mx, 'ONEHOT_CHUNK_LIMIT', 16 * 512)  # force 8 chunks
+    monkeypatch.setattr(mx, 'ONEHOT_CHUNK_LIMIT', 16 * 1500)  # 2 chunks + tail
     cd_b, sums_b = mx.tile_sums_fast(spec, shareds, rs, an)
 
     np.testing.assert_array_equal(np.asarray(cd_a), np.asarray(cd_b))
@@ -399,7 +399,7 @@ def test_segment_sum_chunked_matches(monkeypatch):
     """base.segment_sum's row-chunked path (large B*K) is exact,
     including a non-power-of-two tail chunk."""
     rng = np.random.RandomState(3)
-    B, K = 1000, 16   # forces chunking with a tail under a tiny limit
+    B, K = 1000, 16   # chunk=300 -> 3 chunks + a 100-row tail
     data = rng.randn(B, 3).astype(np.float32)
     ids = rng.randint(0, K, B).astype(np.int32)
     want = np.zeros((K, 3), np.float32)
@@ -407,7 +407,7 @@ def test_segment_sum_chunked_matches(monkeypatch):
 
     got_plain = np.asarray(base.segment_sum(
         jnp.asarray(data), jnp.asarray(ids), K))
-    monkeypatch.setattr(base, 'ONEHOT_CHUNK_LIMIT', 16 * 125)
+    monkeypatch.setattr(base, 'ONEHOT_CHUNK_LIMIT', 16 * 300)
     got_chunked = np.asarray(base.segment_sum(
         jnp.asarray(data), jnp.asarray(ids), K))
     np.testing.assert_allclose(got_plain, want, rtol=1e-6, atol=1e-4)

@@ -356,3 +356,26 @@ def test_slice_param_sweep_no_retrace():
             jax.random.PRNGKey(i + 1), spec, 0, shareds, state,
             ('sigmasq', 'kappa'), width=1.0)
     assert sl._slice_param_sweep._cache_size() == size_after_first
+
+
+def test_runner_hyper_slice_kwargs_form():
+    """hyper_slice accepts a kwargs dict per block so bounds/priors
+    reach slice_step_feature through the runner (r5 self-review: the
+    tuple form could not express the bounds that concentration
+    parameters need)."""
+    from distributions_tpu.inference import runner
+    from distributions_tpu.models import dd
+    rng = np.random.RandomState(0)
+    spec = mx.make_spec([(dd, 1)], capacity=16, empties=1)
+    shareds = (dd.shared_from_dict({'alphas': [1.0, 1.0]}),)
+    X = rng.choice(2, size=(128, 1), p=[0.7, 0.3]).astype(np.int32)
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    _, _, log = runner.run_gibbs(
+        spec, cl, shareds, (jnp.asarray(X),), jax.random.PRNGKey(0),
+        passes=4, block=16, init='random:4', hyper_every=2,
+        hyper_slice={0: {'params': ('alphas',), 'width': 1.5,
+                         'bounds': {'alphas': (-3.0, 3.0)}}})
+    a = np.asarray(log.final_shareds[0].alphas)
+    assert (a != 1.0).any()
+    assert (a >= np.exp(-3.0) - 1e-5).all()
+    assert (a <= np.exp(3.0) + 1e-3).all()

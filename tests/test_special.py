@@ -134,3 +134,20 @@ def test_score_data_safe_at_huge_hypers():
         bb.shared_from_dict({'alpha': a, 'beta': 1.0}), g_bb))
         for a in (1e0, 1e4, 1e8)]
     assert s[0] > s[1] > s[2], s
+
+    # gp/bnb: the increments must come from RAW group stats — a
+    # post-minus-prior reconstruction absorbs to 0 in f32 at prior 1e8
+    # and the score freezes (r5 self-review finding)
+    g_gp = gp.Group(count=jnp.float32(30.), sum=jnp.float32(120.),
+                    log_prod=jnp.float32(50.))
+    s = [float(gp.score_data(
+        gp.shared_from_dict({'alpha': a, 'inv_beta': 1.0}), g_gp))
+        for a in (1e0, 1e4, 1e8)]
+    assert s[0] > s[1] > s[2], s
+
+    g_bnb = bnb.Group(count=jnp.float32(30.), sum=jnp.float32(120.))
+    s = [float(bnb.score_data(
+        bnb.shared_from_dict({'alpha': a, 'beta': 1.0, 'r': 1.0}),
+        g_bnb))
+        for a in (1e0, 1e4, 1e8)]
+    assert s[0] > s[1] > s[2], s
