@@ -39,16 +39,22 @@ def main():
     # first-call artifact; see memory/BENCH.md measurement notes)
     PASSES = int(os.environ.get('RUNNER_PASSES', 3 * SPS))
 
+    MODEL = os.environ.get('RUNNER_MODEL', 'nich')  # nich | bb
+
     import jax
     if os.environ.get('RUNNER_FORCE_CPU') == '1':
         jax.config.update('jax_platforms', 'cpu')
     import jax.numpy as jnp
     from distributions_tpu import clustering, mixture as mx
-    from distributions_tpu.models import nich
+    from distributions_tpu.models import nich, bb
     from distributions_tpu.inference import runner
 
     rng = np.random.RandomState(0)
-    spec = mx.make_spec([(nich, FEATURES)], capacity=C, empties=1)
+    if MODEL == 'bb':
+        FEATURES = 1
+        spec = mx.make_spec([(bb, 1)], capacity=C, empties=1)
+    else:
+        spec = mx.make_spec([(nich, FEATURES)], capacity=C, empties=1)
     # alpha=1 + 7C/8 true clusters + a warm start from the generating
     # labels: occupancy stays ~87% and growth (which fires at free == 0
     # with grow_headroom=0) never triggers mid-benchmark.  bench.py's
@@ -59,13 +65,24 @@ def main():
     # Raising alpha/d or dropping the warm start reintroduces that risk;
     # the '# last row' stderr line prints the final capacity to check.
     cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
-    shareds = (nich.shared_from_dict(
-        {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
     n_true = C // 8 * 7
-    centers = rng.randn(n_true, FEATURES).astype(np.float32)
     labels = rng.randint(0, n_true, R)
-    X = centers[labels] + 0.1 * rng.randn(R, FEATURES).astype(np.float32)
-    values = (jnp.asarray(X, jnp.float32),)
+    if MODEL == 'bb':
+        # d=0 (CRP): under d=0.1 the binary-data partition sustains
+        # >1100 groups at 1M rows and growth correctly doubles capacity
+        # mid-benchmark (measured — same trap as the nich random init)
+        cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.0})
+        shareds = (bb.shared_from_dict({'alpha': 0.5, 'beta': 0.5}),)
+        ps = rng.rand(n_true)
+        X = (rng.rand(R) < ps[labels])[:, None]
+        values = (jnp.asarray(X),)
+    else:
+        shareds = (nich.shared_from_dict(
+            {'mu': 0., 'kappa': 0.1, 'sigmasq': 0.01, 'nu': 1.}),)
+        centers = rng.randn(n_true, FEATURES).astype(np.float32)
+        X = centers[labels] + 0.1 * rng.randn(R, FEATURES) \
+            .astype(np.float32)
+        values = (jnp.asarray(X, jnp.float32),)
 
     use_pallas = jax.devices()[0].platform != 'cpu'
     # warm-start from the generating labels (exactly bench.py's setup):

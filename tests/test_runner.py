@@ -431,3 +431,19 @@ def test_runner_initial_assignments_warm_start():
     np.testing.assert_array_equal(
         np.asarray(st0.counts),
         np.bincount(np.asarray(an0), minlength=spec.capacity))
+
+
+def test_runner_logged_score_matches_final_state():
+    """The deferred-score logging path (scores dispatched per step, read
+    one step later) must log the same values a direct recompute gives:
+    the LAST row's score_data equals mx.score_data of the returned
+    state."""
+    spec, shareds, values = _problem()
+    cl = clustering.PitmanYor.from_dict({'alpha': 1.0, 'd': 0.1})
+    state, an, log = runner.run_gibbs(
+        spec, cl, shareds, values, jax.random.PRNGKey(5), passes=4,
+        block=16, sweeps_per_step=2)
+    want = float(mx.score_data(spec, cl, shareds, state))
+    assert log.rows[-1]['score_data'] == pytest.approx(want, rel=1e-6)
+    # every row carries a realized score (no leaked device handles)
+    assert all(isinstance(r['score_data'], float) for r in log.rows)
